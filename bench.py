@@ -1,0 +1,88 @@
+"""Benchmark: edges/sec/chip on the SchNet energy+force training step.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no throughput numbers (BASELINE.md), so
+``vs_baseline`` compares against a recorded reference point of this repo's
+first measurement (stored in BENCH_BASE, updated only when hardware changes).
+"""
+import json
+import time
+
+import numpy as np
+
+# First recorded single-chip value (edges/sec) to normalize vs_baseline.
+BENCH_BASE = 1.0e6  # placeholder until first TPU run locks it in
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from gcnn_keras_tpu.batch import batch_graphs
+    from gcnn_keras_tpu.graph.preprocess import set_range
+    from gcnn_keras_tpu.models.schnet import make_model
+    from gcnn_keras_tpu.model.force import EnergyForceModel
+    from gcnn_keras_tpu.training.losses import masked_graph_mae, masked_node_mae
+
+    rs = np.random.RandomState(0)
+    graphs = []
+    n_mols = 32
+    for _ in range(n_mols):
+        n = rs.randint(12, 21)  # QM9-like molecule sizes
+        g = {
+            "node_number": rs.choice([1, 6, 7, 8, 9], size=n),
+            "node_coordinates": (rs.randn(n, 3) * 2.0).astype(np.float32),
+            "energy": np.array([rs.randn()], dtype=np.float32),
+        }
+        g = set_range(g, max_distance=4.0, max_neighbours=25)
+        g["edge_indices"] = g.pop("range_indices")
+        g["force"] = (rs.randn(n, 3) * 0.1).astype(np.float32)
+        graphs.append(g)
+
+    batch = batch_graphs(graphs, global_keys=("energy",))
+    n_real_edges = int(np.asarray(batch.edge_mask).sum())
+
+    model = make_model()  # reference default config: 128 units, depth 4
+    fmodel = EnergyForceModel(model)
+    params = fmodel.init(jax.random.PRNGKey(0), batch, train=False)
+
+    def loss_fn(params, b):
+        out = fmodel.apply(params, b, train=False)
+        e_loss = masked_graph_mae(out["energy"], b.globals["energy"],
+                                  b.globals["graph_mask"])
+        f_loss = masked_node_mae(out["force"], b.nodes["force"], b.node_mask)
+        return e_loss + 100.0 * f_loss, {}
+
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def step(params, opt_state, b):
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, b)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    # warmup / compile
+    params, opt_state, loss = step(params, opt_state, batch)
+    jax.block_until_ready(loss)
+
+    iters = 50
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt_state, loss = step(params, opt_state, batch)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    edges_per_sec = n_real_edges * iters / dt
+    print(json.dumps({
+        "metric": "schnet_energy_force_train_edges_per_sec_per_chip",
+        "value": round(edges_per_sec, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(edges_per_sec / BENCH_BASE, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

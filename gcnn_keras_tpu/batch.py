@@ -1,0 +1,324 @@
+"""Flat padded disjoint graph batching — the core data representation.
+
+Design (replaces the reference's ragged tensors, ``kgcnn/ops/partition.py:97-162``
+and ``kgcnn/layers/casting.py``): a batch of graphs is stored as flat node /
+edge arrays in *disjoint* (globally shifted) indexing with static padded
+shapes, so that every downstream op is jit-/TPU-friendly:
+
+- ``nodes[key]``   : ``(N_pad, ...)`` flat per-node arrays.
+- ``edges[key]``   : ``(E_pad, ...)`` flat per-edge arrays.
+- ``globals[key]`` : ``(G, ...)`` per-graph arrays (labels, total charge, ...).
+- ``senders`` / ``receivers`` : ``(E_pad,)`` int32 global node ids. Message
+  flow is sender -> receiver; this matches the reference convention where
+  ``edge_indices[:, 0]`` is the receiving node (pooled over,
+  ``kgcnn/layers/pooling.py:37-79``) and ``edge_indices[:, 1]`` the sending
+  node (gathered, ``kgcnn/layers/gather.py:286``).
+- ``graph_id``     : ``(N_pad,)`` int32 graph slot of each node.
+- ``node_loc``     : ``(N_pad,)`` int32 position of the node *within* its
+  graph — enables flat <-> (G, max_nodes, F) padded conversion with one
+  scatter (needed by the charge-equilibration dense solve).
+- ``node_mask`` / ``edge_mask`` : bool validity masks.
+- ``angles``       : optional ``(A_pad, 3)`` int32 (i, j, k) node triples for
+  angular descriptors (ACSF G4 / DimeNet); ``i`` is the central node.
+- padding nodes live in the *last* graph slot (jraph-style padding graph);
+  padding edges point sender == receiver == a padding node, so scatter
+  contributions land in dead slots.
+
+Edges are sorted by receiver at build time so aggregation kernels can assume
+``indices_are_sorted=True`` (the reference re-argsorts inside every layer
+call instead — ``kgcnn/layers/pooling.py:66``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+Array = Any
+
+# Canonical property names (mirror of the reference's GraphDict keys,
+# kgcnn/graph/base.py:18).
+NODE_KEYS_DEFAULT = ("node_number", "node_coordinates", "node_attributes")
+EDGE_KEYS_DEFAULT = ("edge_attributes", "edge_weights", "range_image")
+
+
+@struct.dataclass
+class GraphBatch:
+    """A statically-shaped batch of graphs in flat disjoint form."""
+
+    nodes: Dict[str, Array]
+    edges: Dict[str, Array]
+    globals: Dict[str, Array]
+    senders: Array
+    receivers: Array
+    graph_id: Array
+    node_loc: Array
+    node_mask: Array
+    edge_mask: Array
+    angles: Optional[Array] = None
+    angle_mask: Optional[Array] = None
+    n_graphs: int = struct.field(pytree_node=False, default=1)
+    max_nodes: int = struct.field(pytree_node=False, default=0)
+
+    # -- convenience accessors -------------------------------------------------
+    @property
+    def n_node(self) -> int:
+        return self.graph_id.shape[0]
+
+    @property
+    def n_edge(self) -> int:
+        return self.senders.shape[0]
+
+    @property
+    def edge_graph_id(self) -> Array:
+        return self.graph_id[self.receivers]
+
+    def replace_nodes(self, **kv) -> "GraphBatch":
+        new = dict(self.nodes)
+        new.update(kv)
+        return self.replace(nodes=new)
+
+    def replace_globals(self, **kv) -> "GraphBatch":
+        new = dict(self.globals)
+        new.update(kv)
+        return self.replace(globals=new)
+
+
+# ---------------------------------------------------------------------------
+# Host-side (numpy) batch assembly
+# ---------------------------------------------------------------------------
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def bucket_size(n: int, multiple: int = 128, min_size: int = 128) -> int:
+    """Round ``n`` up to a bucket boundary to bound recompilation.
+
+    Buckets are powers of two of ``min_size`` until 1024, then multiples of
+    ``multiple`` — a compromise between padding waste and compile count.
+    """
+    n = max(n, 1)
+    size = min_size
+    while size < n and size < 1024:
+        size *= 2
+    if size >= n:
+        return size
+    return _round_up(n, max(multiple, 128))
+
+
+def batch_graphs(
+    graphs: Sequence[Dict[str, np.ndarray]],
+    n_node_pad: Optional[int] = None,
+    n_edge_pad: Optional[int] = None,
+    n_graph_pad: Optional[int] = None,
+    n_angle_pad: Optional[int] = None,
+    edge_index_key: str = "edge_indices",
+    angle_index_key: str = "angle_indices_nodes",
+    global_keys: Sequence[str] = (),
+    sort_edges_by_receiver: bool = True,
+    np_out: bool = False,
+    max_nodes: Optional[int] = None,
+) -> GraphBatch:
+    """Assemble a list of per-graph numpy dicts into one flat GraphBatch.
+
+    Each graph dict maps property names to numpy arrays. Arrays whose leading
+    dimension equals the node count are treated as node properties, ones whose
+    leading dim equals the edge count as edge properties; names listed in
+    ``global_keys`` (or scalars / shape-(k,) labels) become per-graph globals.
+    Replaces ``MemoryGraphList.tensor()`` (reference ``kgcnn/data/base.py:203``).
+    """
+    n_real = len(graphs)
+    if n_real == 0:
+        raise ValueError("batch_graphs needs at least one graph")
+
+    counts_n = []
+    counts_e = []
+    counts_a = []
+    for g in graphs:
+        ei = np.asarray(g[edge_index_key])
+        n_nodes = _infer_num_nodes(g, edge_index_key)
+        counts_n.append(n_nodes)
+        counts_e.append(ei.shape[0])
+        if angle_index_key in g:
+            counts_a.append(np.asarray(g[angle_index_key]).shape[0])
+        else:
+            counts_a.append(0)
+
+    tot_n, tot_e, tot_a = sum(counts_n), sum(counts_e), sum(counts_a)
+    # Always reserve >=1 padding node + the padding graph slot so padding
+    # edges have a dead node to point at.
+    N = n_node_pad if n_node_pad is not None else bucket_size(tot_n + 1)
+    E = n_edge_pad if n_edge_pad is not None else bucket_size(max(tot_e, 1))
+    G = n_graph_pad if n_graph_pad is not None else n_real + 1
+    has_angles = tot_a > 0 or n_angle_pad is not None
+    A = n_angle_pad if n_angle_pad is not None else (bucket_size(max(tot_a, 1)) if has_angles else 0)
+    if N < tot_n + 1:
+        raise ValueError(f"n_node_pad={N} too small for {tot_n} nodes (+1 pad)")
+    if E < tot_e:
+        raise ValueError(f"n_edge_pad={E} too small for {tot_e} edges")
+    if G < n_real + 1:
+        raise ValueError(f"n_graph_pad={G} too small for {n_real} graphs (+1 pad)")
+    if has_angles and A < tot_a:
+        raise ValueError(f"n_angle_pad={A} too small for {tot_a} angles")
+
+    # Node offsets per graph for disjoint indexing.
+    offsets = np.concatenate([[0], np.cumsum(counts_n[:-1])]).astype(np.int64)
+
+    graph_id = np.full((N,), G - 1, dtype=np.int32)
+    node_loc = np.zeros((N,), dtype=np.int32)
+    node_mask = np.zeros((N,), dtype=bool)
+    for gi, (off, cn) in enumerate(zip(offsets, counts_n)):
+        graph_id[off : off + cn] = gi
+        node_loc[off : off + cn] = np.arange(cn, dtype=np.int32)
+        node_mask[off : off + cn] = True
+    # padding nodes: sequential slots of the padding graph
+    n_pad_nodes = N - tot_n
+    node_loc[tot_n:] = np.arange(n_pad_nodes, dtype=np.int32)
+
+    dead_node = N - 1
+    senders = np.full((E,), dead_node, dtype=np.int32)
+    receivers = np.full((E,), dead_node, dtype=np.int32)
+    edge_mask = np.zeros((E,), dtype=bool)
+    e_off = 0
+    for gi, g in enumerate(graphs):
+        ei = np.asarray(g[edge_index_key], dtype=np.int64)
+        m = ei.shape[0]
+        if m:
+            receivers[e_off : e_off + m] = ei[:, 0] + offsets[gi]
+            senders[e_off : e_off + m] = ei[:, 1] + offsets[gi]
+            edge_mask[e_off : e_off + m] = True
+        e_off += m
+
+    # Collect property arrays.
+    node_props: Dict[str, List[np.ndarray]] = {}
+    edge_props: Dict[str, List[np.ndarray]] = {}
+    glob_props: Dict[str, List[np.ndarray]] = {}
+    for gi, g in enumerate(graphs):
+        cn, ce = counts_n[gi], counts_e[gi]
+        for k, v in g.items():
+            if k in (edge_index_key, angle_index_key):
+                continue
+            v = np.asarray(v)
+            if k in global_keys or v.ndim == 0:
+                glob_props.setdefault(k, []).append(np.atleast_1d(v))
+            elif v.ndim >= 1 and v.shape[0] == cn and (k not in edge_props):
+                node_props.setdefault(k, []).append(v)
+            elif v.ndim >= 1 and v.shape[0] == ce and (k not in node_props):
+                edge_props.setdefault(k, []).append(v)
+            else:
+                glob_props.setdefault(k, []).append(v)
+
+    def _pad_cat(parts: List[np.ndarray], total: int) -> np.ndarray:
+        cat = np.concatenate(parts, axis=0) if parts else np.zeros((0,))
+        pad_shape = (total - cat.shape[0],) + cat.shape[1:]
+        pad = np.zeros(pad_shape, dtype=cat.dtype)
+        return np.concatenate([cat, pad], axis=0)
+
+    nodes = {k: _pad_cat(v, N) for k, v in node_props.items()}
+    edges = {k: _pad_cat(v, E) for k, v in edge_props.items()}
+    globals_ = {k: _stack_pad(v, G) for k, v in glob_props.items()}
+    globals_["graph_mask"] = np.concatenate(
+        [np.ones(n_real, dtype=bool), np.zeros(G - n_real, dtype=bool)])
+    globals_["num_nodes"] = _stack_pad(
+        [np.asarray(c, dtype=np.int32) for c in counts_n], G)
+
+    # Angles.
+    angles = None
+    angle_mask = None
+    if has_angles:
+        angles = np.full((A, 3), dead_node, dtype=np.int32)
+        angle_mask = np.zeros((A,), dtype=bool)
+        a_off = 0
+        for gi, g in enumerate(graphs):
+            if angle_index_key not in g:
+                continue
+            ai = np.asarray(g[angle_index_key], dtype=np.int64)
+            m = ai.shape[0]
+            if m:
+                angles[a_off : a_off + m] = ai + offsets[gi]
+                angle_mask[a_off : a_off + m] = True
+            a_off += m
+
+    # Sort edges by receiver (stable) so kernels can use sorted-segment paths.
+    if sort_edges_by_receiver:
+        order = np.argsort(receivers, kind="stable")
+        senders = senders[order]
+        receivers = receivers[order]
+        edge_mask = edge_mask[order]
+        edges = {k: v[order] for k, v in edges.items()}
+
+    if max_nodes is None:
+        max_nodes = int(max(counts_n)) if counts_n else 0
+    elif counts_n and max_nodes < max(counts_n):
+        raise ValueError(f"max_nodes={max_nodes} < largest graph {max(counts_n)}")
+
+    conv = (lambda x: x) if np_out else jnp.asarray
+    return GraphBatch(
+        nodes={k: conv(v) for k, v in nodes.items()},
+        edges={k: conv(v) for k, v in edges.items()},
+        globals={k: conv(v) for k, v in globals_.items()},
+        senders=conv(senders),
+        receivers=conv(receivers),
+        graph_id=conv(graph_id),
+        node_loc=conv(node_loc),
+        node_mask=conv(node_mask),
+        edge_mask=conv(edge_mask),
+        angles=conv(angles) if angles is not None else None,
+        angle_mask=conv(angle_mask) if angle_mask is not None else None,
+        n_graphs=G,
+        max_nodes=max_nodes,
+    )
+
+
+def _stack_pad(parts: List[np.ndarray], total: int) -> np.ndarray:
+    arrs = [np.asarray(p) for p in parts]
+    arrs = [a[None] if a.ndim == 0 else a.reshape(1, *a.shape) for a in arrs]
+    cat = np.concatenate(arrs, axis=0)
+    pad_shape = (total - cat.shape[0],) + cat.shape[1:]
+    return np.concatenate([cat, np.zeros(pad_shape, dtype=cat.dtype)], axis=0)
+
+
+def _infer_num_nodes(g: Dict[str, np.ndarray], edge_index_key: str) -> int:
+    for key in ("node_number", "node_coordinates", "node_attributes", "node_labels"):
+        if key in g:
+            return int(np.asarray(g[key]).shape[0])
+    ei = np.asarray(g[edge_index_key])
+    return int(ei.max()) + 1 if ei.size else 0
+
+
+# ---------------------------------------------------------------------------
+# Device-side helpers
+# ---------------------------------------------------------------------------
+
+def flat_to_padded(values: Array, batch: GraphBatch, fill: float = 0.0) -> Array:
+    """Scatter flat node values ``(N, ...)`` to per-graph padded ``(G, M, ...)``.
+
+    Replaces the reference ragged->padded cast (``kgcnn/layers/casting.py:64``).
+    ``M = batch.max_nodes`` (static). Padding nodes of the padding graph may
+    overflow M; they are dropped via clipping into a scratch row.
+    """
+    G, M = batch.n_graphs, max(batch.max_nodes, 1)
+    out_shape = (G, M + 1) + values.shape[1:]
+    out = jnp.full(out_shape, fill, dtype=values.dtype)
+    loc = jnp.minimum(batch.node_loc, M)
+    fill_t = jnp.asarray(fill, dtype=values.dtype)
+    out = out.at[batch.graph_id, loc].set(
+        jnp.where(_bcast(batch.node_mask, values), values, fill_t))
+    return out[:, :M]
+
+
+def padded_to_flat(padded: Array, batch: GraphBatch) -> Array:
+    """Gather per-graph padded ``(G, M, ...)`` back to flat ``(N, ...)``."""
+    M = padded.shape[1]
+    loc = jnp.minimum(batch.node_loc, M - 1)
+    vals = padded[batch.graph_id, loc]
+    return jnp.where(_bcast(batch.node_mask, vals), vals, 0)
+
+
+def _bcast(mask: Array, ref: Array) -> Array:
+    return mask.reshape(mask.shape + (1,) * (ref.ndim - mask.ndim))

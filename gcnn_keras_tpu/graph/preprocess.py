@@ -1,0 +1,311 @@
+"""Host-side graph preprocessing (numpy) — neighbor lists, angle triples,
+periodic images, adjacency normalization.
+
+Re-design of the reference's preprocessor stack (``kgcnn/graph/preprocessor.py``
++ ``kgcnn/graph/adj.py`` + ``kgcnn/graph/geom.py``): same capabilities, same
+GraphDict property names, vectorized numpy. A preprocessor is a callable
+``dict -> dict`` of new/updated properties; ``GraphPreprocessorBase``
+subclasses mirror the reference's serializable name-based registry
+(``kgcnn/graph/serial.py:6``).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Neighbor lists
+# ---------------------------------------------------------------------------
+
+def set_range(graph: Dict[str, np.ndarray], max_distance: float = 4.0,
+              max_neighbours: int = 15, node_coordinates: str = "node_coordinates",
+              do_invert_distance: bool = False, self_loops: bool = False,
+              exclusive: bool = True) -> Dict[str, np.ndarray]:
+    """Cutoff/kNN neighbor list -> ``range_indices`` (M,2) [receiver, sender]
+    + ``range_attributes`` (M,1) distances (``kgcnn/graph/preprocessor.py:255``
+    SetRange). O(N^2) distance matrix like the reference."""
+    xyz = np.asarray(graph[node_coordinates], dtype=np.float64)
+    n = xyz.shape[0]
+    diff = xyz[:, None, :] - xyz[None, :, :]
+    dist = np.linalg.norm(diff, axis=-1)
+    mask = np.ones((n, n), dtype=bool)
+    if not self_loops:
+        np.fill_diagonal(mask, False)
+    if exclusive:
+        mask &= dist <= max_distance
+    # cap neighbor count per receiving node
+    if max_neighbours is not None and max_neighbours < n:
+        order = np.argsort(dist, axis=1, kind="stable")
+        keep = np.zeros_like(mask)
+        rows = np.arange(n)[:, None]
+        keep[rows, order[:, :max_neighbours]] = True
+        mask &= keep
+    recv, send = np.nonzero(mask)
+    d = dist[recv, send]
+    attr = (1.0 / np.maximum(d, 1e-12) if do_invert_distance else d).astype(np.float32)
+    out = dict(graph)
+    out["range_indices"] = np.stack([recv, send], axis=1).astype(np.int64)
+    out["range_attributes"] = attr[:, None]
+    return out
+
+
+def set_range_periodic(graph: Dict[str, np.ndarray], max_distance: float = 4.0,
+                       max_neighbours: Optional[int] = None,
+                       node_coordinates: str = "node_coordinates",
+                       lattice: str = "graph_lattice",
+                       exclusive: bool = True) -> Dict[str, np.ndarray]:
+    """Periodic neighbor list over lattice images
+    (``kgcnn/graph/geom.py:172`` range_neighbour_lattice /
+    ``preprocessor.py:371`` SetRangePeriodic).
+
+    Returns ``range_indices`` (M,2) [receiver, sender], ``range_image`` (M,3)
+    integer images of the *receiving* node, ``range_attributes`` distances.
+    Supercell radius is derived from the cutoff and the lattice's plane
+    spacings, vectorized over all images at once.
+    """
+    xyz = np.asarray(graph[node_coordinates], dtype=np.float64)
+    lat = np.asarray(graph[lattice], dtype=np.float64)  # rows = lattice vectors
+    n = xyz.shape[0]
+    # number of images needed along each lattice direction: cutoff / plane distance
+    recip = np.linalg.inv(lat).T  # reciprocal rows (no 2 pi)
+    spacing = 1.0 / np.maximum(np.linalg.norm(recip, axis=1), 1e-12)
+    n_img = np.maximum(np.ceil(max_distance / spacing).astype(int), 1)
+    rng = [np.arange(-k, k + 1) for k in n_img]
+    images = np.stack(np.meshgrid(*rng, indexing="ij"), axis=-1).reshape(-1, 3)
+    shifts = images @ lat  # (I, 3)
+
+    # all pair distances: receiver i at xyz[i] + shift, sender j at xyz[j]
+    # vec = (x_i + s) - x_j
+    diff = xyz[None, :, None, :] + shifts[:, None, None, :] - xyz[None, None, :, :]
+    dist = np.linalg.norm(diff, axis=-1)  # (I, n_recv, n_send)
+    mask = dist <= max_distance if exclusive else np.ones_like(dist, dtype=bool)
+    central = np.all(images == 0, axis=1)
+    ci = int(np.nonzero(central)[0][0])
+    mask[ci][np.diag_indices(n)] = False  # no self interaction in central cell
+
+    img_idx, recv, send = np.nonzero(mask)
+    d = dist[img_idx, recv, send]
+    if max_neighbours is not None:
+        # keep closest max_neighbours per receiver
+        keep = np.zeros(len(d), dtype=bool)
+        for r in range(n):
+            sel = np.nonzero(recv == r)[0]
+            if len(sel) > max_neighbours:
+                sel = sel[np.argsort(d[sel], kind="stable")[:max_neighbours]]
+            keep[sel] = True
+        img_idx, recv, send, d = img_idx[keep], recv[keep], send[keep], d[keep]
+
+    order = np.lexsort((send, recv))
+    out = dict(graph)
+    out["range_indices"] = np.stack([recv, send], axis=1)[order].astype(np.int64)
+    out["range_image"] = images[img_idx][order].astype(np.int64)
+    out["range_attributes"] = d[order][:, None].astype(np.float32)
+    return out
+
+
+def set_angle(graph: Dict[str, np.ndarray], range_indices: str = "range_indices",
+              allow_multi_edges: bool = False,
+              max_angles: Optional[int] = None) -> Dict[str, np.ndarray]:
+    """Angle triples (i, j, k): for every central node i, ordered pairs of
+    distinct neighbors j != k -> ``angle_indices_nodes`` (A, 3)
+    (``kgcnn/graph/preprocessor.py:316`` SetAngle with node-index output).
+
+    The reference enumerates angles between *edges* sharing a node
+    (``graph/adj.py:300`` get_angle_indices); for the ACSF G4 use-case the
+    node-triple form (central, neighbor, neighbor) is what HDNNP consumes.
+    """
+    ei = np.asarray(graph[range_indices])
+    recv, send = ei[:, 0], ei[:, 1]
+    triples = []
+    # group senders by receiver
+    order = np.argsort(recv, kind="stable")
+    recv_s, send_s = recv[order], send[order]
+    bounds = np.searchsorted(recv_s, np.arange(recv.max() + 2 if len(recv) else 1))
+    for i in range(len(bounds) - 1):
+        nbrs = send_s[bounds[i]:bounds[i + 1]]
+        m = len(nbrs)
+        if m < 2:
+            continue
+        jj, kk = np.meshgrid(nbrs, nbrs, indexing="ij")
+        valid = ~np.eye(m, dtype=bool)
+        if not allow_multi_edges:
+            valid &= jj != kk  # guard duplicate neighbor entries
+        js, ks = jj[valid], kk[valid]
+        tri = np.stack([np.full(len(js), i), js, ks], axis=1)
+        triples.append(tri)
+    angles = (np.concatenate(triples, axis=0) if triples
+              else np.zeros((0, 3), dtype=np.int64))
+    if max_angles is not None and len(angles) > max_angles:
+        angles = angles[:max_angles]
+    out = dict(graph)
+    out["angle_indices_nodes"] = angles.astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Edge-list utilities (kgcnn/graph/adj.py ports, numpy-vectorized)
+# ---------------------------------------------------------------------------
+
+def make_undirected_edges(graph: Dict[str, np.ndarray],
+                          edge_indices: str = "edge_indices") -> Dict[str, np.ndarray]:
+    """Add reversed edges and dedupe (``preprocessor.py:17``
+    MakeUndirectedEdges)."""
+    ei = np.asarray(graph[edge_indices])
+    both = np.concatenate([ei, ei[:, ::-1]], axis=0)
+    uniq = np.unique(both, axis=0)
+    out = dict(graph)
+    out[edge_indices] = uniq.astype(np.int64)
+    return out
+
+
+def add_edge_self_loops(graph: Dict[str, np.ndarray],
+                        edge_indices: str = "edge_indices") -> Dict[str, np.ndarray]:
+    ei = np.asarray(graph[edge_indices])
+    n = _num_nodes(graph, ei)
+    loops = np.stack([np.arange(n)] * 2, axis=1)
+    out = dict(graph)
+    out[edge_indices] = np.concatenate([ei, loops], axis=0).astype(np.int64)
+    return out
+
+
+def sort_edge_indices(graph: Dict[str, np.ndarray],
+                      edge_indices: str = "edge_indices",
+                      edge_attributes: Sequence[str] = ()) -> Dict[str, np.ndarray]:
+    ei = np.asarray(graph[edge_indices])
+    order = np.lexsort((ei[:, 1], ei[:, 0]))
+    out = dict(graph)
+    out[edge_indices] = ei[order]
+    for k in edge_attributes:
+        if k in graph:
+            out[k] = np.asarray(graph[k])[order]
+    return out
+
+
+def set_edge_weights_uniform(graph: Dict[str, np.ndarray], value: float = 1.0,
+                             edge_indices: str = "edge_indices") -> Dict[str, np.ndarray]:
+    ei = np.asarray(graph[edge_indices])
+    out = dict(graph)
+    out["edge_weights"] = np.full((ei.shape[0], 1), value, dtype=np.float32)
+    return out
+
+
+def normalize_edge_weights_symmetric(graph: Dict[str, np.ndarray],
+                                     edge_indices: str = "edge_indices",
+                                     edge_weights: str = "edge_weights") -> Dict[str, np.ndarray]:
+    """w_ij <- w_ij / sqrt(d_i d_j) — GCN symmetric normalization
+    (``kgcnn/graph/adj.py:51`` rescale_edge_weights_degree_sym)."""
+    ei = np.asarray(graph[edge_indices])
+    n = _num_nodes(graph, ei)
+    w = np.asarray(graph.get(edge_weights)) if edge_weights in graph else \
+        np.ones((ei.shape[0], 1), dtype=np.float32)
+    w = w.reshape(len(ei), -1)
+    deg = np.zeros(n)
+    np.add.at(deg, ei[:, 0], w[:, 0])
+    norm = 1.0 / np.sqrt(np.maximum(deg[ei[:, 0]] * deg[ei[:, 1]], 1e-12))
+    out = dict(graph)
+    out[edge_weights] = (w * norm[:, None]).astype(np.float32)
+    return out
+
+
+def compute_reverse_edges_index_map(graph: Dict[str, np.ndarray],
+                                    edge_indices: str = "edge_indices") -> Dict[str, np.ndarray]:
+    """Map each directed edge to its reverse partner (DMPNN;
+    ``kgcnn/graph/adj.py:596``). Missing reverses map to themselves."""
+    ei = np.asarray(graph[edge_indices])
+    key = {(int(a), int(b)): i for i, (a, b) in enumerate(ei)}
+    rev = np.array([key.get((int(b), int(a)), i) for i, (a, b) in enumerate(ei)],
+                   dtype=np.int64)
+    out = dict(graph)
+    out["edge_indices_reverse"] = rev[:, None]
+    return out
+
+
+def count_nodes_and_edges(graph: Dict[str, np.ndarray],
+                          edge_indices: str = "edge_indices") -> Dict[str, np.ndarray]:
+    ei = np.asarray(graph[edge_indices])
+    out = dict(graph)
+    out["total_nodes"] = np.array(_num_nodes(graph, ei))
+    out["total_edges"] = np.array(ei.shape[0])
+    return out
+
+
+def pad_property(graph: Dict[str, np.ndarray], key: str, pad_width, value=0):
+    out = dict(graph)
+    out[key] = np.pad(np.asarray(graph[key]), pad_width, constant_values=value)
+    return out
+
+
+def shift_to_unit_cell(graph: Dict[str, np.ndarray],
+                       node_coordinates: str = "node_coordinates",
+                       lattice: str = "graph_lattice") -> Dict[str, np.ndarray]:
+    """Wrap coordinates into the unit cell (``preprocessor.py:540``)."""
+    xyz = np.asarray(graph[node_coordinates], dtype=np.float64)
+    lat = np.asarray(graph[lattice], dtype=np.float64)
+    frac = xyz @ np.linalg.inv(lat)
+    frac = frac % 1.0
+    out = dict(graph)
+    out[node_coordinates] = (frac @ lat).astype(np.float32)
+    return out
+
+
+def expand_distance_gauss_basis(graph: Dict[str, np.ndarray], bins: int = 20,
+                                distance: float = 4.0, sigma: float = 0.4,
+                                offset: float = 0.0,
+                                range_attributes: str = "range_attributes") -> Dict[str, np.ndarray]:
+    """Host-side Gauss expansion (``preprocessor.py:444``) — normally done
+    on device, provided for parity."""
+    d = np.asarray(graph[range_attributes]).reshape(-1, 1)
+    centers = np.linspace(offset, distance, bins)
+    gamma = -0.5 / sigma**2
+    out = dict(graph)
+    out[range_attributes] = np.exp(gamma * (d - centers[None]) ** 2).astype(np.float32)
+    return out
+
+
+def _num_nodes(graph: Dict[str, np.ndarray], ei: np.ndarray) -> int:
+    for key in ("node_number", "node_coordinates", "node_attributes"):
+        if key in graph:
+            return int(np.asarray(graph[key]).shape[0])
+    return int(ei.max()) + 1 if ei.size else 0
+
+
+# ---------------------------------------------------------------------------
+# Serializable registry (parity: kgcnn/graph/serial.py)
+# ---------------------------------------------------------------------------
+
+class GraphPreprocessorBase:
+    """Config-carrying wrapper so preprocessors can be serialized by name
+    like the reference's get_preprocessor (``kgcnn/graph/serial.py:6``)."""
+
+    def __init__(self, fn, **config):
+        self._fn = fn
+        self._config = config
+
+    def __call__(self, graph: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        return self._fn(graph, **self._config)
+
+    def get_config(self):
+        return dict(self._config)
+
+
+_PREPROCESSORS = {
+    "set_range": set_range,
+    "set_angle": set_angle,
+    "set_range_periodic": set_range_periodic,
+    "make_undirected_edges": make_undirected_edges,
+    "add_edge_self_loops": add_edge_self_loops,
+    "sort_edge_indices": sort_edge_indices,
+    "set_edge_weights_uniform": set_edge_weights_uniform,
+    "normalize_edge_weights_symmetric": normalize_edge_weights_symmetric,
+    "set_edge_indices_reverse": compute_reverse_edges_index_map,
+    "count_nodes_and_edges": count_nodes_and_edges,
+    "pad_property": pad_property,
+    "shift_to_unit_cell": shift_to_unit_cell,
+    "expand_distance_gauss_basis": expand_distance_gauss_basis,
+}
+
+
+def get_preprocessor(name: str, **config) -> GraphPreprocessorBase:
+    return GraphPreprocessorBase(_PREPROCESSORS[name], **config)

@@ -1,0 +1,136 @@
+"""Gather and aggregation primitives over flat disjoint batches.
+
+TPU-native replacement for the reference's gather/pooling layer pair
+(``kgcnn/layers/gather.py`` + ``kgcnn/layers/pooling.py``). These are plain
+functions, not stateful modules — the reference wrapped them in Keras layers
+only to manage ragged partitions, which the GraphBatch format eliminates.
+
+Conventions:
+- messages flow sender -> receiver;
+- edges are pre-sorted by receiver (``indices_are_sorted=True`` fast path);
+- padding edges target dead padding nodes, so no masking is needed for sums
+  (padding edge features are zero); ops with non-zero identity (max/min,
+  softmax) take the mask explicitly.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..batch import GraphBatch
+from ..ops.segment import (
+    segment_ops_by_name, segment_softmax,
+)
+
+Array = jax.Array
+
+
+def gather_nodes(values: Array, indices: Array) -> Array:
+    """Edge-wise gather: ``values[(N, ...)][indices (E,)] -> (E, ...)``.
+
+    The reference's GatherNodes/GatherEmbeddingSelection
+    (``kgcnn/layers/gather.py:69-100``) — here a single ``take`` because
+    indices are already disjoint/global.
+    """
+    return jnp.take(values, indices, axis=0)
+
+
+def gather_state(state: Array, batch: GraphBatch) -> Array:
+    """Broadcast per-graph state ``(G, F)`` to nodes ``(N, F)``
+    (``kgcnn/layers/gather.py:323`` GatherState)."""
+    return jnp.take(state, batch.graph_id, axis=0)
+
+
+def pool_edges_to_nodes(batch: GraphBatch, edge_values: Array,
+                        mode: str = "sum") -> Array:
+    """Aggregate edge messages onto receiving nodes — THE aggregation kernel
+    (``kgcnn/layers/pooling.py:11`` PoolingLocalEdges).
+
+    ``edge_values``: ``(E, ...)``. Returns ``(N, ...)``. Padding edges point
+    at dead padding nodes, so their contributions never reach real nodes.
+    """
+    return segment_ops_by_name(
+        mode, edge_values, batch.receivers, batch.n_node,
+        indices_are_sorted=True)
+
+
+def pool_weighted_edges_to_nodes(batch: GraphBatch, edge_values: Array,
+                                 edge_weights: Array, mode: str = "sum",
+                                 normalize: bool = False) -> Array:
+    """Weighted aggregation (``kgcnn/layers/pooling.py:92``
+    PoolingWeightedLocalEdges)."""
+    w = edge_weights
+    if w.ndim == edge_values.ndim - 1:
+        w = w[..., None]
+    out = segment_ops_by_name(mode, edge_values * w, batch.receivers,
+                              batch.n_node, indices_are_sorted=True)
+    if normalize:
+        norm = segment_ops_by_name("sum", w, batch.receivers, batch.n_node,
+                                   indices_are_sorted=True)
+        out = out / jnp.maximum(norm, 1e-12)
+    return out
+
+
+def pool_edges_to_nodes_attention(batch: GraphBatch, edge_values: Array,
+                                  attention_logits: Array) -> Array:
+    """Attention-coefficient aggregation (``kgcnn/layers/pooling.py:464``
+    PoolingLocalEdgesAttention): softmax of logits per receiving node, then
+    weighted sum of edge values."""
+    coeff = segment_softmax(attention_logits, batch.receivers, batch.n_node,
+                            mask=batch.edge_mask)
+    return segment_ops_by_name("sum", edge_values * coeff, batch.receivers,
+                               batch.n_node, indices_are_sorted=True)
+
+
+def relational_pool_edges_to_nodes(batch: GraphBatch, edge_values: Array,
+                                   edge_relations: Array, num_relations: int,
+                                   mode: str = "sum") -> Array:
+    """Per-relation aggregation -> ``(N, num_relations, F)``
+    (``kgcnn/layers/pooling.py:603`` RelationalPoolingLocalEdges, used by
+    ACSF to sum per neighbor element).
+
+    Implemented as a single segment op over the combined id
+    ``receiver * num_relations + relation`` — no (N, R, F) scatter loop.
+    """
+    combined = batch.receivers * num_relations + edge_relations
+    out = segment_ops_by_name(mode, edge_values, combined,
+                              batch.n_node * num_relations)
+    return out.reshape((batch.n_node, num_relations) + edge_values.shape[1:])
+
+
+def pool_nodes_to_graph(batch: GraphBatch, node_values: Array,
+                        mode: str = "sum",
+                        pooling_method: Optional[str] = None) -> Array:
+    """Whole-graph readout ``(N, ...) -> (G, ...)``
+    (``kgcnn/layers/pooling.py:186`` PoolingNodes).
+
+    Padding nodes all live in the padding graph slot, so no masking is
+    needed for any reduction mode. ``pooling_method`` is accepted as an
+    alias for ``mode`` (reference config names).
+    """
+    mode = pooling_method or mode
+    return segment_ops_by_name(mode, node_values, batch.graph_id,
+                               batch.n_graphs, indices_are_sorted=True)
+
+
+def pool_nodes_to_graph_attention(batch: GraphBatch, node_values: Array,
+                                  attention_logits: Array) -> Array:
+    """Graph readout with per-node attention (PoolingEmbeddingAttention,
+    ``kgcnn/layers/pooling.py:550``)."""
+    coeff = segment_softmax(attention_logits, batch.graph_id, batch.n_graphs,
+                            mask=batch.node_mask)
+    return segment_ops_by_name("sum", node_values * coeff, batch.graph_id,
+                               batch.n_graphs, indices_are_sorted=True)
+
+
+def pool_edges_to_graph(batch: GraphBatch, edge_values: Array,
+                        mode: str = "sum") -> Array:
+    """Readout over edges ``(E, ...) -> (G, ...)`` (PoolingGlobalEdges)."""
+    return segment_ops_by_name(mode, edge_values, batch.edge_graph_id,
+                               batch.n_graphs)
+
+
+def _bcast(mask: Array, ref: Array) -> Array:
+    return mask.reshape(mask.shape + (1,) * (ref.ndim - mask.ndim))

@@ -1,0 +1,216 @@
+"""Atom-centered symmetry functions (ACSF) G2/G4 — Behler descriptors.
+
+Parity with ``kgcnn/layers/conv/acsf_conv.py:17`` (ACSFG2), ``:228`` (ACSFG4)
+and ``:514`` (ACSFConstNormalization), re-designed for flat batches:
+
+- per-edge element-pair parameter lookup is a gather from a small table;
+- the per-neighbor-element sum is ONE segment-sum over the combined id
+  ``receiver * num_relations + relation`` (no (N, R) scatter loops);
+- everything is a fixed-shape elementwise pipeline the TPU VPU eats whole.
+
+G2:  G_i = sum_{j != i} exp(-eta (r_ij - Rs)^2) * f_c(r_ij)   per (elem_j, set)
+G4:  G_i = sum_{j,k} 2^{1-zeta} (1 + lambda cos theta_ijk)^zeta
+           * exp(-eta (r_ij^2+r_ik^2+r_jk^2)) * f_c(r_ij) f_c(r_ik) f_c(r_jk)
+           per (pair(elem_j, elem_k), set)
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ...batch import GraphBatch
+from ...ops.segment import segment_sum
+
+Array = jax.Array
+
+_MAX_Z = 96
+
+
+def _reverse_mapping(element_mapping: np.ndarray) -> np.ndarray:
+    rev = np.zeros(_MAX_Z, dtype=np.int32)
+    for i, z in enumerate(element_mapping):
+        rev[int(z)] = i
+    return rev
+
+
+def _cutoff_fc(r: Array, rc: Array) -> Array:
+    """Cosine cutoff with the reference's clip semantics
+    (``acsf_conv.py:164-169``): r clipped to [-rc, rc] so f_c(r>rc)=0."""
+    rclip = jnp.clip(jnp.broadcast_to(r, rc.shape), -rc, rc)
+    return 0.5 * (jnp.cos(rclip * math.pi / rc) + 1.0)
+
+
+class ACSFG2(nn.Module):
+    """Radial symmetry functions. Output ``(N, num_relations * m)``.
+
+    ``eta_rs_rc``: (R, m, 3) shared or (R, R, m, 3) per-target-element table;
+    ``element_mapping``: atomic numbers for the R element slots.
+    """
+
+    eta_rs_rc: Any
+    element_mapping: Any
+    add_eps: bool = False
+
+    @staticmethod
+    def make_param_table(eta: Sequence[float], rs: Sequence[float], rc: float,
+                         elements: Sequence[int], **kwargs):
+        """(parity: ``acsf_conv.py:128``) grid of (eta, Rs) pairs shared by
+        every element."""
+        table = [(et, r, rc) for r in rs for et in eta]
+        elements = np.sort(np.array(elements))
+        params = np.broadcast_to(np.array(table), (len(elements), len(table), 3))
+        return {"eta_rs_rc": np.array(params), "element_mapping": elements, **kwargs}
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, z: Optional[Array] = None,
+                 positions: Optional[Array] = None) -> Array:
+        table = np.asarray(self.eta_rs_rc, dtype=np.float32)
+        per_target = table.ndim == 4
+        num_rel = table.shape[1] if per_target else table.shape[0]
+        rev = _reverse_mapping(np.asarray(self.element_mapping))
+        tab = jnp.asarray(table)
+        rev = jnp.asarray(rev)
+
+        z = z if z is not None else batch.nodes["node_number"].astype(jnp.int32)
+        pos = positions if positions is not None else batch.nodes["node_coordinates"]
+        recv, send = batch.receivers, batch.senders
+        zi = jnp.clip(z[recv], 0, _MAX_Z - 1)
+        zj = jnp.clip(z[send], 0, _MAX_Z - 1)
+        zi_map = rev[zi]
+        zj_map = rev[zj]
+        params = tab[zi_map, zj_map] if per_target else tab[zj_map]  # (E, m, 3)
+        eta, rs, rc = params[..., 0], params[..., 1], params[..., 2]
+
+        vec = pos[recv] - pos[send]
+        if "range_image" in batch.edges and "graph_lattice" in batch.globals:
+            image = batch.edges["range_image"].astype(pos.dtype)
+            lat_e = batch.globals["graph_lattice"][batch.edge_graph_id]
+            vec = vec + jnp.einsum("ei,eij->ej", image, lat_e)
+        r2 = jnp.sum(vec * vec, axis=-1, keepdims=True)
+        eps = 1e-12
+        rij = jnp.sqrt(jnp.maximum(r2, eps))  # (E, 1)
+
+        fc = _cutoff_fc(rij, rc)
+        gij = jnp.exp(-eta * (rij - rs) ** 2)
+        rep = gij * fc  # (E, m)
+        rep = rep * batch.edge_mask[:, None].astype(rep.dtype)
+
+        combined = recv * num_rel + jnp.clip(zj_map, 0, num_rel - 1)
+        pooled = segment_sum(rep, combined, batch.n_node * num_rel)
+        return pooled.reshape(batch.n_node, num_rel * rep.shape[-1])
+
+
+class ACSFG4(nn.Module):
+    """Angular symmetry functions over (i, j, k) node triples.
+    Output ``(N, num_pair_relations * m)``.
+
+    ``eta_zeta_lambda_rc``: (M, m, 4) shared or (R, M, m, 4) per-target table
+    with M element-pair slots; pair index from (elem_j, elem_k), unordered
+    unless ``keep_pair_order``.
+    """
+
+    eta_zeta_lambda_rc: Any
+    element_mapping: Any
+    element_pair_mapping: Any = None
+    keep_pair_order: bool = False
+    multiplicity: Optional[float] = None
+    add_eps: bool = False
+
+    @staticmethod
+    def make_param_table(eta: Sequence[float], zeta: Sequence[float],
+                         lamda: Sequence[float], rc: float,
+                         elements: Sequence[int], **kwargs):
+        """(parity: ``acsf_conv.py:388``)."""
+        tab = [[et, zt, la, rc] for et in eta for zt in zeta for la in lamda]
+        elements = np.sort(np.array(elements))
+        n_pairs = len(elements) * (len(elements) + 1) // 2
+        params = np.broadcast_to(np.array(tab), (n_pairs, len(tab), 4))
+        return {"eta_zeta_lambda_rc": np.array(params), "element_mapping": elements,
+                "element_pair_mapping": None, **kwargs}
+
+    def _pair_maps(self):
+        elements = np.asarray(self.element_mapping)
+        if self.element_pair_mapping is None:
+            idx = elements[:, None]
+            pairs = np.concatenate([
+                np.repeat(idx[None, :, :], len(elements), axis=0),
+                np.repeat(idx[:, None, :], len(elements), axis=1)], axis=-1
+            ).reshape(-1, 2)
+            if not self.keep_pair_order:
+                pairs = np.sort(pairs, axis=-1)
+                pairs = pairs[np.sort(np.unique(pairs, axis=0, return_index=True)[1])]
+        else:
+            pairs = np.asarray(self.element_pair_mapping)
+        rev_pair = np.zeros((_MAX_Z, _MAX_Z), dtype=np.int32)
+        for i, (a, b) in enumerate(pairs):
+            rev_pair[a, b] = i
+            if not self.keep_pair_order:
+                rev_pair[b, a] = i
+        return pairs, rev_pair
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, z: Optional[Array] = None,
+                 positions: Optional[Array] = None) -> Array:
+        assert batch.angles is not None, "ACSFG4 needs angle triples in the batch"
+        table = np.asarray(self.eta_zeta_lambda_rc, dtype=np.float32)
+        per_target = table.ndim == 4
+        num_rel = table.shape[1] if per_target else table.shape[0]
+        pairs, rev_pair = self._pair_maps()
+        assert pairs.shape[0] == num_rel, \
+            f"pair table {pairs.shape[0]} != param relations {num_rel}"
+        rev = jnp.asarray(_reverse_mapping(np.asarray(self.element_mapping)))
+        rev_pair = jnp.asarray(rev_pair)
+        tab = jnp.asarray(table)
+
+        z = z if z is not None else batch.nodes["node_number"].astype(jnp.int32)
+        pos = positions if positions is not None else batch.nodes["node_coordinates"]
+        i, j, k = batch.angles[:, 0], batch.angles[:, 1], batch.angles[:, 2]
+        zi = jnp.clip(z[i], 0, _MAX_Z - 1)
+        zj = jnp.clip(z[j], 0, _MAX_Z - 1)
+        zk = jnp.clip(z[k], 0, _MAX_Z - 1)
+        zi_map = rev[zi]
+        zjk_map = rev_pair[zj, zk]
+        params = tab[zi_map, zjk_map] if per_target else tab[zjk_map]  # (A, m, 4)
+        eta, zeta, lamda, rc = (params[..., 0], params[..., 1],
+                                params[..., 2], params[..., 3])
+
+        eps = 1e-12
+        vij = pos[j] - pos[i]
+        vik = pos[k] - pos[i]
+        vjk = pos[k] - pos[j]
+
+        def dist(v):
+            return jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), eps))
+
+        rij, rik, rjk = dist(vij), dist(vik), dist(vjk)
+        fij, fik, fjk = _cutoff_fc(rij, rc), _cutoff_fc(rik, rc), _cutoff_fc(rjk, rc)
+        gij = jnp.exp(-eta * rij**2)
+        gik = jnp.exp(-eta * rik**2)
+        gjk = jnp.exp(-eta * rjk**2)
+        cos_theta = jnp.sum(vij * vik, axis=-1, keepdims=True) / rij / rik
+        cos_term = jnp.power(jnp.maximum(cos_theta * lamda + 1.0, 1e-30), zeta)
+        cos_term = jnp.power(2.0, 1.0 - zeta) * cos_term
+        if self.multiplicity is not None:
+            cos_term = cos_term / self.multiplicity
+
+        rep = cos_term * gij * gik * gjk * fij * fik * fjk  # (A, m)
+        rep = rep * batch.angle_mask[:, None].astype(rep.dtype)
+
+        combined = i * num_rel + jnp.clip(zjk_map, 0, num_rel - 1)
+        pooled = segment_sum(rep, combined, batch.n_node * num_rel)
+        return pooled.reshape(batch.n_node, num_rel * rep.shape[-1])
+
+
+class ACSFConstNormalization(nn.Module):
+    """(x - mean) / std with constant tables (``acsf_conv.py:514``)."""
+
+    std: Any = 1.0
+    mean: Any = 0.0
+
+    def __call__(self, x: Array) -> Array:
+        return (x - jnp.asarray(self.mean, x.dtype)) / jnp.asarray(self.std, x.dtype)

@@ -1,0 +1,200 @@
+"""4th-generation HDNNP electrostatics: charge equilibration (Qeq/CENT),
+screened-Coulomb energies and QM/MM coupling.
+
+Parity with ``kgcnn/layers/conv/hdnnp_conv.py`` (CENTCharge:15,
+ElectrostaticEnergyGaussCharge:274, ElectrostaticQMMMEnergyPointCharge:446,
+ElectrostaticQMMMForcePointCharge:516, CENTChargePlusElectrostaticEnergy:579).
+
+TPU re-design of the Qeq solve: the reference scatters the Lagrange
+row/column at per-molecule position ``num_atoms`` inside a padded matrix
+(``hdnnp_conv.py:219-244``); here the constraint row/col sits at the FIXED
+last slot M, with identity rows for padding atoms — identical solution,
+fully static shapes, one batched ``jnp.linalg.solve`` on ``(G, M+1, M+1)``.
+The solve is linear, so reverse-mode AD through it (for forces) uses the
+implicit adjoint solve that jnp provides automatically.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ...batch import GraphBatch, flat_to_padded, padded_to_flat
+from ...ops.segment import segment_sum
+
+Array = jax.Array
+
+_MAX_Z = 97
+
+# Covalent radii (pm) — CENTCharge table (``hdnnp_conv.py:85``), scaled
+# pm -> Bohr by 0.0188973 for the Qeq solve.
+_COVALENT_RADII_PM = np.array([
+    0.0, 31, 28,
+    128, 96, 84, 73, 71, 66, 57, 58,
+    166, 141, 121, 111, 107, 105, 102, 106,
+    203, 176, 170, 160, 153, 139, 139, 132, 126, 124, 132, 122, 122, 120, 119,
+    120, 120, 116,
+    220, 195, 190, 175, 164, 154, 147, 146, 142, 139, 145, 144, 142, 139, 139,
+    138, 139, 140,
+    244, 215, 207, 204, 203, 201, 199, 198, 198, 196, 194, 192, 192, 189, 190,
+    187, 175, 187, 170, 162, 151, 144,
+    141, 136, 136, 132, 145, 146, 148, 140, 150, 150,
+    260, 221, 215, 206, 200, 196, 190, 187, 180, 169
+])
+CENT_RADII = (0.0188973 * _COVALENT_RADII_PM).astype(np.float32)
+GAUSS_RADII = (0.01 * _COVALENT_RADII_PM).astype(np.float32)
+
+# Chemical hardness (eV), scaled as in the reference (``hdnnp_conv.py:96``).
+CENT_HARDNESS = (0.037 / 0.529177 * np.array([
+    0.0, 6.2, 8.8,
+    2.2, 4.6, 3.8, 4.7, 7.1, 5.6, 6.1, 9.1,
+    2.1, 4.0, 2.6, 3.3, 4.7, 3.8, 4.5, 7.7,
+    2.3, 3.2, 3.2, 2.9, 3.2, 3.4, 4.0, 3.6, 3.3, 3.3, 3.8, 5.8, 3.0, 3.3, 4.5,
+    3.9, 4.2, 7.7,
+    1.9, 3.1, 3.1, 2.9, 3.3, 3.5, 3.7, 3.7, 3.9, 4.1, 3.6, 5.4, 3.1, 3.1, 4.0,
+    3.6, 3.8, 6.8,
+    1.8, 2.7, 2.4, 2.3, 2.5, 2.7, 2.5, 3.0, 3.0, 3.2, 3.2, 3.3, 3.3, 3.3, 3.1,
+    3.5, 3.2, 3.8, 3.1, 3.6, 3.7, 3.7,
+    3.8, 3.5, 3.6, 5.8, 3.1, 3.4, 3.3, 3.6, 3.6, 6.1,
+    1.8, 3.0, 2.8, 2.8, 3.1, 3.0, 3.1, 3.5, 3.3, 3.3
+])).astype(np.float32)
+
+
+class CENTCharge(nn.Module):
+    """Charge equilibration: solve the Qeq linear system per molecule.
+
+    Input: flat electronegativities ``chi (N,)``; uses ``node_number``,
+    ``node_coordinates`` and ``globals['total_charge']``. Returns flat
+    charges ``(N,)``.
+    """
+
+    param_trainable: bool = False
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, chi: Array,
+                 positions: Optional[Array] = None) -> Array:
+        if self.param_trainable:
+            hardness = self.param("hardness_j", lambda k: jnp.asarray(CENT_HARDNESS))
+            sigma_t = self.param("sigma", lambda k: jnp.asarray(CENT_RADII))
+        else:
+            hardness = jnp.asarray(CENT_HARDNESS)
+            sigma_t = jnp.asarray(CENT_RADII)
+
+        z = jnp.clip(batch.nodes["node_number"].astype(jnp.int32), 0, _MAX_Z - 1)
+        pos = positions if positions is not None else batch.nodes["node_coordinates"]
+        qtot = batch.globals.get("total_charge")
+        if qtot is None:
+            qtot = jnp.zeros((batch.n_graphs,), dtype=pos.dtype)
+        qtot = qtot.reshape(batch.n_graphs, -1)[:, 0]
+
+        G, M = batch.n_graphs, max(batch.max_nodes, 1)
+        # padded per-graph tensors
+        x_pad = flat_to_padded(pos, batch)                       # (G, M, 3)
+        chi_flat = chi.reshape(chi.shape[0], -1)[:, 0]
+        chi_pad = flat_to_padded(chi_flat, batch)                # (G, M)
+        z_pad = flat_to_padded(z, batch)                         # (G, M)
+        mask = flat_to_padded(batch.node_mask.astype(pos.dtype), batch)  # (G, M)
+        mb = mask.astype(bool)
+
+        diff = x_pad[:, :, None, :] - x_pad[:, None, :, :]
+        dist = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 1e-12))
+        sig = sigma_t[z_pad]                                     # (G, M)
+        gamma = jnp.sqrt(sig[:, :, None] ** 2 + sig[:, None, :] ** 2 + 1e-12)
+        off = jax.scipy.special.erf(dist / (gamma * math.sqrt(2.0))) / dist
+        pair_mask = mb[:, :, None] & mb[:, None, :]
+        eye = jnp.eye(M, dtype=bool)[None]
+        a_core = jnp.where(pair_mask & ~eye, off, 0.0)
+        diag_val = hardness[z_pad] + 1.0 / (sig * math.sqrt(math.pi) + 1e-12)
+        # diagonal: physical value for real atoms, 1 for padding (identity row)
+        diag = jnp.where(mb, diag_val, 1.0)
+        a_core = a_core + diag[:, :, None] * eye
+
+        # assemble (G, M+1, M+1): border row/col = node mask, corner 0
+        # (or 1 for empty graphs to keep the system nonsingular)
+        n_valid = jnp.sum(mask, axis=1)
+        corner = jnp.where(n_valid > 0, 0.0, 1.0)
+        a = jnp.zeros((G, M + 1, M + 1), dtype=pos.dtype)
+        a = a.at[:, :M, :M].set(a_core)
+        a = a.at[:, :M, M].set(mask)
+        a = a.at[:, M, :M].set(mask)
+        a = a.at[:, M, M].set(corner)
+
+        rhs = jnp.concatenate([chi_pad * mask, qtot[:, None]], axis=1)  # (G, M+1)
+        q_pad = jnp.linalg.solve(a, rhs[..., None])[..., 0]             # (G, M+1)
+        q = padded_to_flat(q_pad[:, :M], batch)
+        return q * batch.node_mask.astype(q.dtype)
+
+
+class ElectrostaticEnergyGaussCharge(nn.Module):
+    """Screened-Coulomb energy of Gaussian charges over the edge list +
+    self energy (``hdnnp_conv.py:274``). Returns per-graph energy (G, 1)."""
+
+    multiplicity: float = 2.0
+    param_trainable: bool = False
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, q: Array,
+                 positions: Optional[Array] = None) -> Array:
+        sigma_t = (self.param("sigma", lambda k: jnp.asarray(GAUSS_RADII))
+                   if self.param_trainable else jnp.asarray(GAUSS_RADII))
+        z = jnp.clip(batch.nodes["node_number"].astype(jnp.int32), 0, _MAX_Z - 1)
+        pos = positions if positions is not None else batch.nodes["node_coordinates"]
+        qf = q.reshape(q.shape[0], -1)[:, 0]
+
+        recv, send = batch.receivers, batch.senders
+        vec = pos[recv] - pos[send]
+        rij = jnp.sqrt(jnp.maximum(jnp.sum(vec * vec, axis=-1), 1e-12))
+        si, sj = sigma_t[z[recv]], sigma_t[z[send]]
+        gamma = jnp.sqrt(si**2 + sj**2 + 1e-12)
+        pair = qf[recv] * qf[send] * jax.scipy.special.erf(
+            rij / (gamma * math.sqrt(2.0))) / rij
+        pair = pair * batch.edge_mask.astype(pair.dtype)
+        e_pair = segment_sum(pair, batch.edge_graph_id, batch.n_graphs)
+        if self.multiplicity:
+            e_pair = e_pair / self.multiplicity
+
+        sigma_n = sigma_t[z]
+        self_e = jnp.where(sigma_n > 0, qf**2 / jnp.maximum(sigma_n, 1e-12), 0.0) \
+            / (2.0 * math.sqrt(math.pi))
+        self_e = self_e * batch.node_mask.astype(self_e.dtype)
+        e_self = segment_sum(self_e, batch.graph_id, batch.n_graphs,
+                             indices_are_sorted=True)
+        return (e_pair + e_self)[:, None]
+
+
+def electrostatic_qmmm_energy(batch: GraphBatch, q: Array, esp: Array) -> Array:
+    """E = sum_i q_i Phi_i per graph (``hdnnp_conv.py:446``). Returns (G, 1)."""
+    qf = q.reshape(q.shape[0], -1)[:, 0]
+    ef = esp.reshape(esp.shape[0], -1)[:, 0]
+    contrib = qf * ef * batch.node_mask.astype(qf.dtype)
+    return segment_sum(contrib, batch.graph_id, batch.n_graphs,
+                       indices_are_sorted=True)[:, None]
+
+
+def electrostatic_qmmm_force(q: Array, esp_grad: Array) -> Array:
+    """F_i = -q_i * dPhi_i/dr_i (``hdnnp_conv.py:516``). Returns (N, 3)."""
+    qf = q.reshape(q.shape[0], -1)[:, 0]
+    return -qf[:, None] * esp_grad
+
+
+class CENTChargePlusElectrostaticEnergy(nn.Module):
+    """Fused Qeq solve + electrostatic energy (``hdnnp_conv.py:579``).
+    Returns (charges (N,), energy (G, 1))."""
+
+    multiplicity: float = 2.0
+    param_trainable: bool = False
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, chi: Array,
+                 positions: Optional[Array] = None) -> Tuple[Array, Array]:
+        q = CENTCharge(param_trainable=self.param_trainable,
+                       name="cent_charge")(batch, chi, positions)
+        e = ElectrostaticEnergyGaussCharge(
+            multiplicity=self.multiplicity,
+            param_trainable=self.param_trainable,
+            name="electrostatic_energy")(batch, q, positions)
+        return q, e

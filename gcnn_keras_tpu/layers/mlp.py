@@ -1,0 +1,126 @@
+"""Dense / MLP / per-relation MLP modules (flax.linen).
+
+Replaces ``kgcnn/layers/modules.py`` (DenseEmbedding) + ``kgcnn/layers/mlp.py``
+(MLP, GraphMLP, RelationalMLP) + ``kgcnn/layers/relational.py``
+(RelationalDense). Ragged wrappers are unnecessary: flat node/edge arrays are
+ordinary ``(N, F)`` matrices that map straight onto the MXU.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops.activ import get_activation
+
+Array = jax.Array
+
+
+def _as_list(v, depth: int):
+    if isinstance(v, (list, tuple)):
+        assert len(v) == depth, f"list length {len(v)} != depth {depth}"
+        return list(v)
+    return [v] * depth
+
+
+class Dense(nn.Module):
+    """Dense layer with named activation (DenseEmbedding, modules.py:90)."""
+
+    units: int
+    activation: Any = "linear"
+    use_bias: bool = True
+    kernel_init: Any = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        init = self.kernel_init or nn.initializers.lecun_normal()
+        y = nn.Dense(self.units, use_bias=self.use_bias, kernel_init=init)(x)
+        return get_activation(self.activation)(y)
+
+
+class MLP(nn.Module):
+    """Multi-layer perceptron with per-layer unit/activation lists
+    (``kgcnn/layers/mlp.py:246``). ``units`` may be an int or list."""
+
+    units: Union[int, Sequence[int]]
+    activation: Any = "linear"
+    use_bias: Any = True
+    last_linear: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        units = self.units if isinstance(self.units, (list, tuple)) else [self.units]
+        depth = len(units)
+        acts = _as_list(self.activation, depth)
+        biases = _as_list(self.use_bias, depth)
+        for i, (u, a, b) in enumerate(zip(units, acts, biases)):
+            if self.last_linear and i == depth - 1:
+                a = "linear"
+            x = Dense(u, activation=a, use_bias=b, name=f"dense_{i}")(x)
+        return x
+
+
+GraphMLP = MLP
+
+
+class RelationalDense(nn.Module):
+    """Per-relation dense: one weight set per relation (element type),
+    selected per row (``kgcnn/layers/relational.py:9``).
+
+    TPU design: instead of gathering per-row weight matrices (bad for MXU),
+    compute ``x @ W_r`` for all R relations as one einsum ``(N,Fi),(R,Fi,Fo)
+    -> (N,R,Fo)`` and select with a one-hot contraction when R is small
+    (R = num chemical elements, typically <= 8), which keeps everything as
+    large matmuls. For large R, falls back to gathered weights.
+    """
+
+    units: int
+    num_relations: int
+    activation: Any = "linear"
+    use_bias: bool = True
+    dense_relation_threshold: int = 16
+
+    @nn.compact
+    def __call__(self, x: Array, relations: Array) -> Array:
+        fi = x.shape[-1]
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.num_relations, fi, self.units))
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.num_relations, self.units)) if self.use_bias else None
+        if self.num_relations <= self.dense_relation_threshold:
+            onehot = jax.nn.one_hot(relations, self.num_relations, dtype=x.dtype)
+            # (N, R) einsum (R, Fi, Fo) with (N, Fi) -> (N, Fo); contraction
+            # ordered so XLA emits R dense matmuls + weighted sum (MXU-bound).
+            y = jnp.einsum("nf,rfu,nr->nu", x, w, onehot,
+                           optimize="optimal")
+            if b is not None:
+                y = y + onehot @ b
+        else:
+            wr = jnp.take(w, relations, axis=0)  # (N, Fi, Fo)
+            y = jnp.einsum("nf,nfu->nu", x, wr)
+            if b is not None:
+                y = y + jnp.take(b, relations, axis=0)
+        return get_activation(self.activation)(y)
+
+
+class RelationalMLP(nn.Module):
+    """Stack of RelationalDense layers — the per-element atomic networks of
+    HDNNP (``kgcnn/layers/mlp.py:329``)."""
+
+    units: Union[int, Sequence[int]]
+    num_relations: int
+    activation: Any = "linear"
+    use_bias: Any = True
+
+    @nn.compact
+    def __call__(self, x: Array, relations: Array) -> Array:
+        units = self.units if isinstance(self.units, (list, tuple)) else [self.units]
+        depth = len(units)
+        acts = _as_list(self.activation, depth)
+        biases = _as_list(self.use_bias, depth)
+        for i, (u, a, b) in enumerate(zip(units, acts, biases)):
+            x = RelationalDense(u, self.num_relations, activation=a,
+                                use_bias=b, name=f"rel_dense_{i}")(x, relations)
+        return x

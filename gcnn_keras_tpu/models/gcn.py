@@ -1,0 +1,56 @@
+"""GCN model (parity: ``kgcnn/literature/GCN.py:38`` make_model).
+
+Inputs in the batch: ``nodes['node_attributes']`` (or integer
+``node_number`` -> embedding), ``edges['edge_weights']`` with
+symmetric-normalized weights from preprocessing.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence
+
+import jax
+import flax.linen as nn
+
+from ..batch import GraphBatch
+from ..layers.conv.gcn import GCNConv
+from .common import OptionalInputEmbedding, GraphOutputHead
+from .registry import update_model_kwargs
+
+Array = jax.Array
+
+model_default = dict(
+    input_embedding={"node": {"input_dim": 95, "output_dim": 64}},
+    gcn_args={"units": 100, "activation": "relu", "pooling_method": "sum"},
+    depth=3,
+    output_embedding="graph",
+    output_mlp={"units": [140, 70, 1], "activation": ["relu", "relu", "linear"]},
+    node_key="node_attributes",
+    edge_weight_key="edge_weights",
+)
+
+
+class GCN(nn.Module):
+    config: Dict[str, Any]
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, train: bool = False) -> Dict[str, Array]:
+        cfg = self.config
+        emb_cfg = cfg["input_embedding"]["node"]
+        key = cfg["node_key"]
+        x = batch.nodes.get(key, batch.nodes.get("node_number"))
+        h = OptionalInputEmbedding(**emb_cfg)(x)
+        ew = batch.edges[cfg["edge_weight_key"]]
+        if ew.ndim == 1:
+            ew = ew[:, None]
+        for i in range(cfg["depth"]):
+            h = GCNConv(**cfg["gcn_args"], name=f"gcn_{i}")(batch, h, ew)
+        out_cfg = cfg["output_mlp"]
+        out = GraphOutputHead(
+            units=out_cfg["units"], activation=out_cfg["activation"],
+            output_embedding=cfg["output_embedding"], name="output")(batch, h)
+        return {"output": out}
+
+
+def make_model(**kwargs) -> GCN:
+    cfg = update_model_kwargs(model_default, kwargs)
+    return GCN(config=cfg)

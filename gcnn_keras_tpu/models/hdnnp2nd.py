@@ -1,0 +1,132 @@
+"""HDNNP 2nd generation — Behler–Parrinello neural network potential.
+
+Parity: ``kgcnn/literature/HDNNP2nd.py`` — ``make_model_weighted`` (:47),
+``make_model_behler`` (:155), ``make_model_atom_wise`` (:262). Default
+``make_model`` is the Behler variant like the reference (:345 alias).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..batch import GraphBatch
+from ..layers.conv.acsf import ACSFG2, ACSFG4, ACSFConstNormalization
+from ..layers.conv.wacsf import wACSFRad, wACSFAng
+from ..layers.mlp import MLP, RelationalMLP
+from ..layers.norm import GraphBatchNorm
+from ..layers.aggr import pool_nodes_to_graph
+from .registry import update_model_kwargs
+
+Array = jax.Array
+
+model_default_behler = dict(
+    g2_kwargs={"eta": [0.0, 0.3], "rs": [0.0, 3.0], "rc": 10.0, "elements": [1, 6, 16]},
+    g4_kwargs={"eta": [0.0, 0.3], "lamda": [-1.0, 1.0], "rc": 6.0,
+               "zeta": [1.0, 8.0], "elements": [1, 6, 16], "multiplicity": 2.0},
+    normalize_kwargs={},
+    const_normalize_kwargs=None,
+    mlp_kwargs={"units": [64, 64, 1], "num_relations": 96,
+                "activation": ["swish", "swish", "linear"]},
+    node_pooling_args={"pooling_method": "sum"},
+    output_embedding="graph",
+    use_output_mlp=False,
+    output_mlp={"units": [64, 1], "activation": ["swish", "linear"]},
+)
+
+model_default_weighted = dict(
+    w_acsf_rad_kwargs={},
+    w_acsf_ang_kwargs={},
+    normalize_kwargs={},
+    const_normalize_kwargs=None,
+    mlp_kwargs={"units": [64, 64, 1], "num_relations": 96,
+                "activation": ["swish", "swish", "linear"]},
+    node_pooling_args={"pooling_method": "sum"},
+    output_embedding="graph",
+    use_output_mlp=False,
+    output_mlp={"units": [64, 1], "activation": ["swish", "linear"]},
+)
+
+model_default_atom_wise = dict(
+    mlp_kwargs={"units": [64, 64, 1], "num_relations": 96,
+                "activation": ["swish", "swish", "linear"]},
+    node_pooling_args={"pooling_method": "sum"},
+    output_embedding="graph",
+    use_output_mlp=False,
+    output_mlp={"units": [64, 1], "activation": ["swish", "linear"]},
+)
+
+
+class HDNNP2nd(nn.Module):
+    """mode: 'behler' (ACSF G2+G4 tables), 'weighted' (wACSF) or
+    'atom_wise' (precomputed ``node_representation`` input)."""
+
+    config: Dict[str, Any]
+    mode: str = "behler"
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, train: bool = False) -> Dict[str, Array]:
+        cfg = self.config
+        z = batch.nodes["node_number"].astype(jnp.int32)
+
+        if self.mode == "behler":
+            rep_g2 = ACSFG2(**ACSFG2.make_param_table(**cfg["g2_kwargs"]),
+                            name="acsf_g2")(batch, z=z)
+            rep_g4 = ACSFG4(**ACSFG4.make_param_table(**cfg["g4_kwargs"]),
+                            name="acsf_g4")(batch, z=z)
+            rep = jnp.concatenate([rep_g2, rep_g4], axis=-1)
+        elif self.mode == "weighted":
+            rep_rad = wACSFRad(**cfg["w_acsf_rad_kwargs"], name="wacsf_rad")(batch, z=z)
+            rep_ang = wACSFAng(**cfg["w_acsf_ang_kwargs"], name="wacsf_ang")(batch, z=z)
+            rep = jnp.concatenate([rep_rad, rep_ang], axis=-1)
+        elif self.mode == "atom_wise":
+            rep = batch.nodes["node_representation"]
+        else:
+            raise ValueError(f"unknown HDNNP2nd mode {self.mode}")
+
+        if cfg.get("normalize_kwargs") is not None and self.mode != "atom_wise":
+            rep = GraphBatchNorm(**cfg["normalize_kwargs"], name="norm")(
+                rep, batch.node_mask, use_running_average=not train)
+        if cfg.get("const_normalize_kwargs"):
+            rep = ACSFConstNormalization(**cfg["const_normalize_kwargs"])(rep)
+
+        n = RelationalMLP(**cfg["mlp_kwargs"], name="atomic_mlp")(rep, z)
+
+        if cfg["output_embedding"] == "graph":
+            n = n * batch.node_mask[:, None].astype(n.dtype)
+            out = pool_nodes_to_graph(batch, n, **cfg["node_pooling_args"])
+            if cfg["use_output_mlp"]:
+                out = MLP(cfg["output_mlp"]["units"],
+                          activation=cfg["output_mlp"]["activation"],
+                          name="output_mlp")(out)
+        elif cfg["output_embedding"] == "node":
+            out = n
+            if cfg["use_output_mlp"]:
+                out = MLP(cfg["output_mlp"]["units"],
+                          activation=cfg["output_mlp"]["activation"],
+                          name="output_mlp")(out)
+        else:
+            raise ValueError(f"unsupported output_embedding {cfg['output_embedding']}")
+        return {"output": out}
+
+
+def make_model_behler(**kwargs) -> HDNNP2nd:
+    cfg = update_model_kwargs(model_default_behler, kwargs)
+    return HDNNP2nd(config=cfg, mode="behler")
+
+
+def make_model_weighted(**kwargs) -> HDNNP2nd:
+    cfg = update_model_kwargs(model_default_weighted, kwargs)
+    return HDNNP2nd(config=cfg, mode="weighted")
+
+
+def make_model_atom_wise(**kwargs) -> HDNNP2nd:
+    cfg = update_model_kwargs(model_default_atom_wise, kwargs)
+    return HDNNP2nd(config=cfg, mode="atom_wise")
+
+
+def make_model(**kwargs) -> HDNNP2nd:
+    """Default is the Behler variant (parity: HDNNP2nd.py:345)."""
+    return make_model_behler(**kwargs)

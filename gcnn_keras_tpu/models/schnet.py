@@ -1,0 +1,95 @@
+"""SchNet model (parity: ``kgcnn/literature/Schnet.py:46`` make_model /
+``:174`` make_crystal_model).
+
+Crystal/periodic support is implicit: if the batch carries
+``edges['range_image']`` + ``globals['graph_lattice']``, edge vectors include
+the periodic shift (see ``layers/geometry.py``), which is exactly what
+make_crystal_model adds in the reference.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import flax.linen as nn
+
+from ..batch import GraphBatch
+from ..layers.conv.schnet import SchNetInteraction
+from ..layers.geometry import edge_distances, gauss_basis
+from ..layers.mlp import Dense, MLP
+from ..layers.aggr import pool_nodes_to_graph
+from .common import OptionalInputEmbedding
+from .registry import update_model_kwargs
+
+Array = jax.Array
+
+model_default = dict(
+    input_embedding={"node": {"input_dim": 95, "output_dim": 64}},
+    make_distance=True,
+    expand_distance=True,
+    gauss_args={"bins": 20, "distance_max": 4.0, "offset": 0.0, "sigma": 0.4},
+    interaction_args={"units": 128, "use_bias": True,
+                      "activation": "shifted_softplus", "cfconv_pool": "sum"},
+    node_pooling_args={"pooling_method": "sum"},
+    depth=4,
+    last_mlp={"units": [128, 64], "activation": ["shifted_softplus", "shifted_softplus"]},
+    output_embedding="graph",
+    use_output_mlp=True,
+    output_mlp={"units": [64, 1], "activation": ["shifted_softplus", "linear"]},
+)
+
+
+class Schnet(nn.Module):
+    config: Dict[str, Any]
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, train: bool = False) -> Dict[str, Array]:
+        cfg = self.config
+        z = batch.nodes.get("node_attributes", batch.nodes.get("node_number"))
+        n = OptionalInputEmbedding(**cfg["input_embedding"]["node"])(z)
+
+        if cfg["make_distance"]:
+            ed = edge_distances(batch)
+        else:
+            ed = batch.edges["edge_distance"]
+        if cfg["expand_distance"]:
+            ed = gauss_basis(ed, **cfg["gauss_args"])
+        # zero the basis on padding edges so filters see exact zeros
+        ed = ed * batch.edge_mask[:, None].astype(ed.dtype)
+
+        units = cfg["interaction_args"]["units"]
+        n = Dense(units, activation="linear", name="embed_to_units")(n)
+        for i in range(cfg["depth"]):
+            n = SchNetInteraction(**cfg["interaction_args"],
+                                  name=f"interaction_{i}")(batch, n, ed)
+
+        n = MLP(cfg["last_mlp"]["units"], activation=cfg["last_mlp"]["activation"],
+                name="last_mlp")(n)
+
+        if cfg["output_embedding"] == "graph":
+            out = n * batch.node_mask[:, None].astype(n.dtype)
+            out = pool_nodes_to_graph(batch, out, **cfg["node_pooling_args"])
+            if cfg["use_output_mlp"]:
+                out = MLP(cfg["output_mlp"]["units"],
+                          activation=cfg["output_mlp"]["activation"],
+                          name="output_mlp")(out)
+        elif cfg["output_embedding"] == "node":
+            out = n
+            if cfg["use_output_mlp"]:
+                out = MLP(cfg["output_mlp"]["units"],
+                          activation=cfg["output_mlp"]["activation"],
+                          name="output_mlp")(n)
+        else:
+            raise ValueError(f"unsupported output_embedding {cfg['output_embedding']}")
+        return {"output": out}
+
+
+def make_model(**kwargs) -> Schnet:
+    cfg = update_model_kwargs(model_default, kwargs)
+    return Schnet(config=cfg)
+
+
+def make_crystal_model(**kwargs) -> Schnet:
+    """Periodic variant — identical module; periodicity comes from the batch
+    carrying ``range_image`` + ``graph_lattice``."""
+    return make_model(**kwargs)

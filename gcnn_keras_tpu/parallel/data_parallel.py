@@ -1,0 +1,73 @@
+"""Data-parallel train/eval steps via ``shard_map`` over a device mesh.
+
+New capability vs the reference (single-GPU keras fit only, SURVEY §2.12):
+each device holds a full replica of the params and consumes its own
+sub-batch; gradients/metrics are ``pmean``-reduced over the ICI mesh axis.
+Replica placement and the collective schedule are XLA's — no NCCL/MPI.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..batch import GraphBatch
+
+
+def make_dp_train_step(loss_fn: Callable, optimizer: optax.GradientTransformation,
+                       mesh: Mesh, axis: str = "data",
+                       donate: bool = True) -> Callable:
+    """Build jitted DP step: ``step((params, opt_state), stacked_batch) ->
+    ((params, opt_state), metrics)``.
+
+    ``loss_fn(params, batch) -> (loss, metrics_dict)``. ``stacked_batch``
+    arrays carry a leading device axis equal to mesh size.
+    """
+
+    def device_step(params, opt_state, sub: GraphBatch):
+        sub = jax.tree.map(lambda x: x[0], sub)
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, sub)
+        grads = jax.lax.pmean(grads, axis)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        out_metrics = {k: jax.lax.pmean(v, axis) for k, v in dict(metrics).items()}
+        out_metrics["loss"] = jax.lax.pmean(loss, axis)
+        return params, opt_state, out_metrics
+
+    sharded = shard_map(
+        device_step, mesh=mesh,
+        in_specs=(P(), P(), P(axis)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def step(state, stacked_batch):
+        params, opt_state = state
+        params, opt_state, metrics = sharded(params, opt_state, stacked_batch)
+        return (params, opt_state), metrics
+
+    return step
+
+
+def make_dp_eval_step(apply_fn: Callable, mesh: Mesh, axis: str = "data") -> Callable:
+    """Build jitted DP forward: returns per-device outputs stacked on the
+    leading axis (caller unstacks/aggregates on host)."""
+
+    def device_eval(params, sub: GraphBatch):
+        sub = jax.tree.map(lambda x: x[0], sub)
+        out = apply_fn(params, sub)
+        return jax.tree.map(lambda x: x[None], out)
+
+    sharded = shard_map(
+        device_eval, mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

@@ -1,0 +1,133 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from gcnn_keras_tpu.batch import batch_graphs
+from gcnn_keras_tpu.graph.preprocess import set_range
+from gcnn_keras_tpu.training.losses import (
+    masked_graph_mae, masked_node_mae, masked_categorical_crossentropy,
+    masked_accuracy,
+)
+from gcnn_keras_tpu.training.schedules import (
+    linear_warmup_exponential_decay, linear_learning_rate, cosine_annealing,
+)
+
+
+def test_masked_losses():
+    pred = jnp.asarray([[1.0], [2.0], [5.0]])
+    target = jnp.asarray([[0.0], [1.0], [99.0]])
+    mask = jnp.asarray([True, True, False])
+    assert abs(float(masked_graph_mae(pred, target, mask)) - 1.0) < 1e-6
+    f_pred = jnp.ones((4, 3))
+    f_tgt = jnp.zeros((4, 3))
+    nmask = jnp.asarray([True, True, False, False])
+    assert abs(float(masked_node_mae(f_pred, f_tgt, nmask)) - 1.0) < 1e-6
+
+
+def test_schedules():
+    s = linear_warmup_exponential_decay(1e-3, warmup_steps=10, decay_steps=100)
+    assert float(s(0)) == 0.0
+    assert abs(float(s(10)) - 1e-3) < 1e-9
+    assert float(s(110)) < 1e-3
+    s2 = linear_learning_rate(1e-3, 1e-5, steps_total=100)
+    assert abs(float(s2(100)) - 1e-5) < 1e-9
+    s3 = cosine_annealing(1e-3, steps_total=100)
+    assert abs(float(s3(100))) < 1e-9
+
+
+def _qm_like_dataset(n_mols=12, seed=0):
+    rs = np.random.RandomState(seed)
+    graphs = []
+    for _ in range(n_mols):
+        n = rs.randint(4, 9)
+        g = {
+            "node_number": rs.choice([1, 6, 8], size=n),
+            "node_coordinates": (rs.randn(n, 3) * 1.5).astype(np.float32),
+        }
+        g = set_range(g, max_distance=5.0, max_neighbours=10)
+        g["edge_indices"] = g.pop("range_indices")
+        # synthetic extensive-ish energy: sum of pair potential
+        pos = g["node_coordinates"]
+        d = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
+        np.fill_diagonal(d, np.inf)
+        e = float(np.sum(np.exp(-d)) + 0.1 * n)
+        g["energy"] = np.array([e], dtype=np.float32)
+        graphs.append(g)
+    return graphs
+
+
+def test_schnet_training_reduces_loss():
+    from gcnn_keras_tpu.models.schnet import make_model
+    graphs = _qm_like_dataset()
+    batch = batch_graphs(graphs, n_node_pad=128, n_edge_pad=1024,
+                         global_keys=("energy",))
+    model = make_model(depth=1, interaction_args={"units": 32},
+                       gauss_args={"bins": 10, "distance_max": 5.0},
+                       last_mlp={"units": [16], "activation": ["shifted_softplus"]},
+                       output_mlp={"units": [1], "activation": ["linear"]})
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    def loss_fn(p, b):
+        out = model.apply(p, b)["output"]
+        return masked_graph_mae(out, b.globals["energy"], b.globals["graph_mask"]), {}
+
+    opt = optax.adam(5e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(p, s, b):
+        (l, _), g = jax.value_and_grad(loss_fn, has_aux=True)(p, b)
+        up, s = opt.update(g, s, p)
+        return optax.apply_updates(p, up), s, l
+
+    losses = []
+    for _ in range(40):
+        params, opt_state, l = step(params, opt_state, batch)
+        losses.append(float(l))
+    assert losses[-1] < losses[0] * 0.7, losses[::10]
+
+
+def test_dp_train_step_matches_single_device():
+    """Data-parallel step over the 8-device CPU mesh must equal the
+    single-device step on the concatenated batch (grad averaging)."""
+    from gcnn_keras_tpu.models.schnet import make_model
+    from gcnn_keras_tpu.parallel.mesh import make_mesh, stack_batches, shard_stacked_batch
+    from gcnn_keras_tpu.parallel.data_parallel import make_dp_train_step
+
+    if jax.device_count() < 2:
+        pytest.skip("needs multiple devices")
+    n_dev = min(4, jax.device_count())
+    mesh = make_mesh(n_dev)
+
+    model = make_model(depth=1, interaction_args={"units": 16},
+                       gauss_args={"bins": 8, "distance_max": 5.0},
+                       last_mlp={"units": [8], "activation": ["shifted_softplus"]},
+                       output_mlp={"units": [1], "activation": ["linear"]})
+
+    per_dev_graphs = [_qm_like_dataset(n_mols=2, seed=i) for i in range(n_dev)]
+    batches = [batch_graphs(g, n_node_pad=32, n_edge_pad=256, max_nodes=8,
+                            global_keys=("energy",))
+               for g in per_dev_graphs]
+    params = model.init(jax.random.PRNGKey(0), batches[0])
+
+    def loss_fn(p, b):
+        out = model.apply(p, b)["output"]
+        return masked_graph_mae(out, b.globals["energy"], b.globals["graph_mask"]), {}
+
+    opt = optax.sgd(1e-2)
+    opt_state = opt.init(params)
+    dp_step = make_dp_train_step(loss_fn, opt, mesh, donate=False)
+    stacked = shard_stacked_batch(stack_batches(batches), mesh)
+    (dp_params, _), metrics = dp_step((params, opt_state), stacked)
+
+    # manual average of per-batch grads
+    grads = [jax.grad(lambda p, b=b: loss_fn(p, b)[0])(params) for b in batches]
+    mean_grad = jax.tree.map(lambda *g: sum(g) / len(g), *grads)
+    up, _ = opt.update(mean_grad, opt.init(params), params)
+    ref_params = optax.apply_updates(params, up)
+
+    diff = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), dp_params, ref_params)
+    max_diff = max(jax.tree.leaves(diff))
+    assert max_diff < 1e-5, max_diff
