@@ -1,0 +1,84 @@
+"""Ensemble evaluation (parity: reference ``evaluate_models.py``, 246 LoC):
+load an ensemble of checkpoints, predict on a dataset, report per-model and
+ensemble-mean errors."""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+
+import numpy as np
+
+
+def load_ensemble(prefix: str, build_model, cfg):
+    """Load (fmodel, params, scaler) for every ``{prefix}_*`` directory."""
+    from gcnn_keras_tpu.utils.checkpoint import load_checkpoint
+    from gcnn_keras_tpu.data.scalers import EnergyForceExtensiveLabelScaler
+    members = []
+    for d in sorted(glob.glob(f"{prefix}_*")):
+        fmodel = build_model(cfg)
+        state = load_checkpoint(d)
+        scaler = EnergyForceExtensiveLabelScaler()
+        try:
+            scaler.load(f"{d}/scaler.json")
+        except FileNotFoundError:
+            scaler = None
+        members.append((fmodel, state["params"], scaler))
+    return members
+
+
+def predict_ensemble(members, batch):
+    """Stack per-member predictions: returns dict of (n_members, ...)."""
+    outs = []
+    for fmodel, params, _ in members:
+        outs.append(fmodel.apply(params, batch, train=False))
+    keys = outs[0].keys()
+    return {k: np.stack([np.asarray(o[k]) for o in outs]) for k in keys
+            if hasattr(outs[0][k], "shape")}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--prefix", default="model_energy_force")
+    ap.add_argument("--script", default="force_hdnnp4th",
+                    help="script module providing build_model + CONFIG")
+    ap.add_argument("--data-path", default=None)
+    args = ap.parse_args()
+
+    import importlib
+    mod = importlib.import_module(args.script)
+    cfg = dict(mod.CONFIG)
+    if args.data_path:
+        cfg["data_path"] = args.data_path
+    if hasattr(mod, "load_dataset"):
+        ds = mod.load_dataset(cfg)
+    else:
+        from gcnn_keras_tpu.training.force_script import load_force_dataset
+        ds = load_force_dataset(cfg)
+
+    members = load_ensemble(args.prefix, mod.build_model, cfg)
+    if not members:
+        raise SystemExit(f"no checkpoints matching {args.prefix}_*")
+
+    batch = ds.to_batch(global_keys=("energy", "total_charge"))
+    preds = predict_ensemble(members, batch)
+    gm = np.asarray(batch.globals["graph_mask"])
+    nm = np.asarray(batch.node_mask)
+    report = {"n_members": len(members)}
+    if "energy" in preds and "energy" in batch.globals:
+        target = np.asarray(batch.globals["energy"])[gm]
+        per = [np.abs(p[gm] - target).mean() for p in preds["energy"]]
+        mean_pred = preds["energy"].mean(axis=0)
+        report["energy_mae_per_model"] = [float(v) for v in per]
+        report["energy_mae_ensemble"] = float(np.abs(mean_pred[gm] - target).mean())
+    if "force" in preds and "force" in batch.nodes:
+        target = np.asarray(batch.nodes["force"])[nm]
+        per = [np.abs(p[nm] - target).mean() for p in preds["force"]]
+        mean_pred = preds["force"].mean(axis=0)
+        report["force_mae_per_model"] = [float(v) for v in per]
+        report["force_mae_ensemble"] = float(np.abs(mean_pred[nm] - target).mean())
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

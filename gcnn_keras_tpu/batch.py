@@ -61,6 +61,10 @@ class GraphBatch:
     edge_mask: Array
     angles: Optional[Array] = None
     angle_mask: Optional[Array] = None
+    # optional (A2, 2) pairs of EDGE positions (in final sorted order) for
+    # directional message passing (DimeNet): pair (e_kj, e_ji) shares node j.
+    angle_edges: Optional[Array] = None
+    angle_edge_mask: Optional[Array] = None
     n_graphs: int = struct.field(pytree_node=False, default=1)
     max_nodes: int = struct.field(pytree_node=False, default=0)
 
@@ -119,10 +123,13 @@ def batch_graphs(
     n_angle_pad: Optional[int] = None,
     edge_index_key: str = "edge_indices",
     angle_index_key: str = "angle_indices_nodes",
+    angle_edge_index_key: str = "angle_indices",
+    n_angle_edge_pad: Optional[int] = None,
     global_keys: Sequence[str] = (),
     sort_edges_by_receiver: bool = True,
     np_out: bool = False,
     max_nodes: Optional[int] = None,
+    compute_reverse_edges: bool = False,
 ) -> GraphBatch:
     """Assemble a list of per-graph numpy dicts into one flat GraphBatch.
 
@@ -201,7 +208,7 @@ def batch_graphs(
     for gi, g in enumerate(graphs):
         cn, ce = counts_n[gi], counts_e[gi]
         for k, v in g.items():
-            if k in (edge_index_key, angle_index_key):
+            if k in (edge_index_key, angle_index_key, angle_edge_index_key):
                 continue
             v = np.asarray(v)
             if k in global_keys or v.ndim == 0:
@@ -244,6 +251,32 @@ def batch_graphs(
                 angle_mask[a_off : a_off + m] = True
             a_off += m
 
+    # Edge-pair angle indices (DimeNet): per-graph local edge positions ->
+    # global positions in the FINAL (sorted) edge order.
+    has_angle_edges = any(angle_edge_index_key in g for g in graphs)
+    angle_edges = None
+    angle_edge_mask = None
+    if has_angle_edges:
+        tot_ae = sum(np.asarray(g[angle_edge_index_key]).shape[0]
+                     for g in graphs if angle_edge_index_key in g)
+        AE = n_angle_edge_pad if n_angle_edge_pad is not None \
+            else bucket_size(max(tot_ae, 1))
+        if AE < tot_ae:
+            raise ValueError(f"n_angle_edge_pad={AE} too small for {tot_ae}")
+        angle_edges = np.full((AE, 2), E - 1, dtype=np.int64)
+        angle_edge_mask = np.zeros((AE,), dtype=bool)
+        ae_off = 0
+        e_offsets = np.concatenate([[0], np.cumsum(counts_e[:-1])]).astype(np.int64)
+        for gi, g in enumerate(graphs):
+            if angle_edge_index_key not in g:
+                continue
+            ae = np.asarray(g[angle_edge_index_key], dtype=np.int64)
+            m = ae.shape[0]
+            if m:
+                angle_edges[ae_off:ae_off + m] = ae + e_offsets[gi]
+                angle_edge_mask[ae_off:ae_off + m] = True
+            ae_off += m
+
     # Sort edges by receiver (stable) so kernels can use sorted-segment paths.
     if sort_edges_by_receiver:
         order = np.argsort(receivers, kind="stable")
@@ -251,6 +284,22 @@ def batch_graphs(
         receivers = receivers[order]
         edge_mask = edge_mask[order]
         edges = {k: v[order] for k, v in edges.items()}
+        if angle_edges is not None:
+            inv_order = np.empty_like(order)
+            inv_order[order] = np.arange(E)
+            angle_edges = inv_order[angle_edges]
+
+    if compute_reverse_edges:
+        # global reverse-edge position per edge (self if no reverse exists) —
+        # DMPNN's pair map (kgcnn/graph/adj.py:596), computed AFTER sorting
+        # so it indexes the final edge order.
+        key_fwd = senders.astype(np.int64) * N + receivers
+        key_rev = receivers.astype(np.int64) * N + senders
+        order2 = np.argsort(key_fwd, kind="stable")
+        pos = np.clip(np.searchsorted(key_fwd[order2], key_rev), 0, max(E - 1, 0))
+        cand = order2[pos] if E else np.zeros(0, dtype=np.int64)
+        match = key_fwd[cand] == key_rev if E else np.zeros(0, dtype=bool)
+        edges["edge_pair_index"] = np.where(match, cand, np.arange(E)).astype(np.int32)
 
     if max_nodes is None:
         max_nodes = int(max(counts_n)) if counts_n else 0
@@ -270,6 +319,8 @@ def batch_graphs(
         edge_mask=conv(edge_mask),
         angles=conv(angles) if angles is not None else None,
         angle_mask=conv(angle_mask) if angle_mask is not None else None,
+        angle_edges=conv(angle_edges) if angle_edges is not None else None,
+        angle_edge_mask=conv(angle_edge_mask) if angle_edge_mask is not None else None,
         n_graphs=G,
         max_nodes=max_nodes,
     )

@@ -144,6 +144,38 @@ def set_angle(graph: Dict[str, np.ndarray], range_indices: str = "range_indices"
     return out
 
 
+def set_angle_edge_pairs(graph: Dict[str, np.ndarray],
+                         range_indices: str = "range_indices",
+                         allow_backtrack: bool = False) -> Dict[str, np.ndarray]:
+    """Edge-pair angle indices for directional message passing (DimeNet):
+    pairs (e1, e2) with receiver(e1) == sender(e2), excluding backtracking
+    k == i unless ``allow_backtrack`` (``kgcnn/graph/adj.py:300``
+    get_angle_indices edge-pair output).
+    """
+    ei = np.asarray(graph[range_indices])
+    recv, send = ei[:, 0], ei[:, 1]
+    pairs = []
+    # group edges by receiver
+    order = np.argsort(recv, kind="stable")
+    recv_s = recv[order]
+    n_max = int(recv.max()) + 2 if len(recv) else 1
+    bounds = np.searchsorted(recv_s, np.arange(n_max))
+    for e2 in range(len(ei)):
+        j = send[e2]
+        i = recv[e2]
+        if j + 1 >= len(bounds):
+            continue
+        in_j = order[bounds[j]:bounds[j + 1]]  # edges with receiver j
+        if not allow_backtrack:
+            in_j = in_j[send[in_j] != i]
+        if len(in_j):
+            pairs.append(np.stack([in_j, np.full(len(in_j), e2)], axis=1))
+    out = dict(graph)
+    out["angle_indices"] = (np.concatenate(pairs, axis=0) if pairs
+                            else np.zeros((0, 2), dtype=np.int64))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Edge-list utilities (kgcnn/graph/adj.py ports, numpy-vectorized)
 # ---------------------------------------------------------------------------
@@ -293,6 +325,7 @@ class GraphPreprocessorBase:
 _PREPROCESSORS = {
     "set_range": set_range,
     "set_angle": set_angle,
+    "set_angle_edge_pairs": set_angle_edge_pairs,
     "set_range_periodic": set_range_periodic,
     "make_undirected_edges": make_undirected_edges,
     "add_edge_self_loops": add_edge_self_loops,

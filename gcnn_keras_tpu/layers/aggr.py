@@ -44,13 +44,16 @@ def gather_state(state: Array, batch: GraphBatch) -> Array:
 
 
 def pool_edges_to_nodes(batch: GraphBatch, edge_values: Array,
-                        mode: str = "sum") -> Array:
+                        mode: str = "sum",
+                        pooling_method: Optional[str] = None) -> Array:
     """Aggregate edge messages onto receiving nodes — THE aggregation kernel
     (``kgcnn/layers/pooling.py:11`` PoolingLocalEdges).
 
     ``edge_values``: ``(E, ...)``. Returns ``(N, ...)``. Padding edges point
     at dead padding nodes, so their contributions never reach real nodes.
+    ``pooling_method`` is an alias for ``mode`` (reference config names).
     """
+    mode = pooling_method or mode
     return segment_ops_by_name(
         mode, edge_values, batch.receivers, batch.n_node,
         indices_are_sorted=True)

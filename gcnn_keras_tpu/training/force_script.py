@@ -1,0 +1,192 @@
+"""Shared engine for the fork-style force/energy/charge training scripts
+(reference repo-root ``force_*.py`` / ``energy_*.py`` / ``charge_*.py`` all
+repeat the same scaffold; here it is factored once).
+
+run_force_training(build_energy_model, cfg) implements:
+dataset load (pickle or synthetic) -> ensemble k-fold with swapped val
+(force_hdnnp4th.py:366) -> extensive scaler -> weighted multi-output loss ->
+jitted Adam loop with linear LR decay -> checkpoints + score file.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+DEFAULTS = {
+    "data_path": None,
+    "model_prefix": "model_energy_force",
+    "charge_loss_weight": 0.0,
+    "energy_loss_weight": 1.0,
+    "force_loss_weight": 200.0,
+    "epochs": 100,
+    "batch_size": 16,
+    "learning_rate_start": 1e-3,
+    "learning_rate_stop": 1e-5,
+    "ensemble_size": 3,
+    "seed": 42,
+    "cutoff": 6.0,
+    "max_neighbours": 15,
+    "need_angles": False,
+    "need_esp": False,
+    "synthetic_frames": 64,
+    "use_esp_coupling": False,
+    "outputs": ("energy", "force"),
+}
+
+
+def load_force_dataset(cfg: Dict):
+    from ..data.dataset import MemoryGraphDataset
+    if cfg.get("data_path"):
+        ds = MemoryGraphDataset().load(cfg["data_path"])
+        if "range_indices" not in ds[0]:
+            ds.map_list("set_range", max_distance=cfg["cutoff"],
+                        max_neighbours=cfg["max_neighbours"])
+            if cfg["need_angles"]:
+                ds.map_list("set_angle")
+        for g in ds:
+            g.setdefault("edge_indices", g.get("range_indices"))
+        return ds
+    from ..data.datasets.synthetic import SyntheticMDDataset
+    ds = SyntheticMDDataset(num_frames=cfg["synthetic_frames"], seed=cfg["seed"])
+    rs = np.random.RandomState(cfg["seed"])
+    for g in ds:
+        n = len(g["node_number"])
+        if cfg["need_esp"]:
+            g["charge"] = (rs.randn(n) * 0.1).astype(np.float32)
+            g["esp"] = (rs.randn(n) * 0.01).astype(np.float32)
+            g["esp_grad"] = (rs.randn(n, 3) * 0.01).astype(np.float32)
+            g["total_charge"] = np.array([g["charge"].sum()], dtype=np.float32)
+    ds.map_list("set_range", max_distance=cfg["cutoff"],
+                max_neighbours=cfg["max_neighbours"])
+    if cfg["need_angles"]:
+        ds.map_list("set_angle")
+    for g in ds:
+        g["edge_indices"] = g["range_indices"]
+    return ds
+
+
+def run_force_training(build_model: Callable[[Dict], object], cfg: Dict) -> Dict:
+    """build_model(cfg) -> EnergyForceModel-like with init/apply."""
+    import jax
+    import optax
+    from ..data.scalers import EnergyForceExtensiveLabelScaler
+    from ..data.loader import GraphBatchLoader
+    from .losses import masked_graph_mae, masked_node_mae
+    from .history import save_history_score
+    from ..utils.data_splitter import kfold_swapped_val
+    from ..utils.checkpoint import save_checkpoint
+
+    merged = dict(DEFAULTS)
+    merged.update(cfg)
+    cfg = merged
+    ds = load_force_dataset(cfg)
+
+    w = {"charge": cfg["charge_loss_weight"], "energy": cfg["energy_loss_weight"],
+         "force": cfg["force_loss_weight"]}
+    wsum = sum(v for k, v in w.items() if k in cfg["outputs"] or k in ("energy", "force"))
+    w = {k: v / max(wsum, 1e-9) for k, v in w.items()}
+
+    global_keys = ["energy"]
+    if cfg["need_esp"]:
+        global_keys.append("total_charge")
+
+    histories, times = [], []
+    for fold, (tr, va, te) in enumerate(
+            kfold_swapped_val(len(ds), k=cfg["ensemble_size"], seed=cfg["seed"])):
+        train, val = ds[tr], ds[va]
+        scaler = EnergyForceExtensiveLabelScaler()
+        scaler.fit_dataset(train)
+        scaler.transform_dataset(train)
+        scaler.transform_dataset(val)
+
+        fmodel = build_model(cfg)
+        hint = train.batch_shape_hint(cfg["batch_size"])
+        loader = GraphBatchLoader(list(train), cfg["batch_size"], shuffle=True,
+                                  seed=cfg["seed"] + fold,
+                                  global_keys=tuple(global_keys), **hint)
+        first = next(iter(loader))
+        params = fmodel.init(jax.random.PRNGKey(cfg["seed"] + fold), first,
+                             train=False)
+        steps = cfg["epochs"] * max(len(loader), 1)
+        lr = optax.linear_schedule(cfg["learning_rate_start"],
+                                   cfg["learning_rate_stop"], steps)
+        optimizer = optax.adam(lr)
+        opt_state = optimizer.init(params)
+
+        def loss_fn(p, b):
+            out = fmodel.apply(p, b, train=False)
+            metrics = {}
+            loss = 0.0
+            if w["energy"] > 0:
+                le = masked_graph_mae(out["energy"], b.globals["energy"],
+                                      b.globals["graph_mask"])
+                loss += w["energy"] * le
+                metrics["energy_mae"] = le
+            if w["force"] > 0 and "force" in out:
+                lf = masked_node_mae(out["force"], b.nodes["force"], b.node_mask)
+                loss += w["force"] * lf
+                metrics["force_mae"] = lf
+            if w["charge"] > 0 and "charge" in out and "charge" in b.nodes:
+                lq = masked_node_mae(out["charge"], b.nodes["charge"], b.node_mask)
+                loss += w["charge"] * lq
+                metrics["charge_mae"] = lq
+            return loss, metrics
+
+        @jax.jit
+        def step(p, s, b):
+            (l, m), g = jax.value_and_grad(loss_fn, has_aux=True)(p, b)
+            up, s = optimizer.update(g, s, p)
+            return optax.apply_updates(p, up), s, l, m
+
+        val_batch = val.to_batch(global_keys=tuple(global_keys))
+        hist = {"loss": [], "val_force_mae": [], "val_energy_mae": []}
+        t0 = time.process_time()
+        for epoch in range(cfg["epochs"]):
+            losses = []
+            for b in loader:
+                params, opt_state, l, m = step(params, opt_state, b)
+                losses.append(float(l))
+            vout = fmodel.apply(params, val_batch, train=False)
+            hist["loss"].append(float(np.mean(losses)))
+            hist["val_energy_mae"].append(float(masked_graph_mae(
+                vout["energy"], val_batch.globals["energy"],
+                val_batch.globals["graph_mask"])))
+            if "force" in vout:
+                hist["val_force_mae"].append(float(masked_node_mae(
+                    vout["force"], val_batch.nodes["force"], val_batch.node_mask)))
+        times.append(time.process_time() - t0)
+        histories.append(hist)
+        outdir = f"{cfg['model_prefix']}_{fold}"
+        save_checkpoint(outdir, params, opt_state=opt_state, step=cfg["epochs"])
+        scaler.save(os.path.join(outdir, "scaler.json"))
+        print(f"fold {fold}: loss={hist['loss'][-1]:.4f} -> {outdir}")
+
+    score = save_history_score(
+        histories, f"results/{cfg['model_prefix']}_score.yaml",
+        model_name=cfg["model_prefix"], dataset_name=cfg.get("data_path") or "synthetic",
+        seed=cfg["seed"], time_list=times)
+    return score
+
+
+def parse_config_cli(defaults: Dict) -> Dict:
+    """--conf JSON override + --epochs, like the reference scripts
+    (force_hdnnp4th.py:35-123)."""
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--conf", default=None)
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--data-path", default=None)
+    args = ap.parse_args()
+    cfg = dict(defaults)
+    if args.conf:
+        with open(args.conf) as f:
+            cfg.update(json.load(f))
+    if args.epochs is not None:
+        cfg["epochs"] = args.epochs
+    if args.data_path:
+        cfg["data_path"] = args.data_path
+    return cfg

@@ -1,0 +1,135 @@
+import os
+import numpy as np
+import pytest
+
+from gcnn_keras_tpu.data.dataset import MemoryGraphList, MemoryGraphDataset
+from gcnn_keras_tpu.data.graph_dict import GraphDict
+from gcnn_keras_tpu.data.scalers import (
+    StandardLabelScaler, ExtensiveMolecularLabelScaler,
+    EnergyForceExtensiveLabelScaler,
+)
+from gcnn_keras_tpu.data.datasets.synthetic import (
+    SyntheticQM9Dataset, SyntheticMDDataset, SyntheticCitationDataset,
+)
+
+
+def test_graph_dict_api():
+    g = GraphDict({"node_number": np.array([1, 6])})
+    g.assign_property("graph_labels", np.array([1.0]))
+    assert g.obtain_property("graph_labels")[0] == 1.0
+    assert "node_number" in g.search_properties("node")
+    g2 = GraphDict({"node_coordinates": np.random.randn(3, 3)})
+    g2.apply_preprocessor("set_range", max_distance=10.0)
+    assert "range_indices" in g2
+
+
+def test_memory_graph_list():
+    ds = SyntheticQM9Dataset(num_molecules=10)
+    assert len(ds) == 10
+    ds.map_list("set_range", max_distance=4.0, max_neighbours=10)
+    assert all("range_indices" in g for g in ds)
+    kept = ds.clean(["node_number", "range_indices"])
+    assert len(kept) == 10
+    labels = ds.obtain_property("graph_labels")
+    assert len(labels) == 10
+
+
+def test_dataset_save_load(tmp_path):
+    ds = SyntheticQM9Dataset(num_molecules=5)
+    path = str(tmp_path / "ds.pickle")
+    ds.save(path)
+    ds2 = MemoryGraphDataset().load(path)
+    assert len(ds2) == 5
+    assert np.array_equal(ds2[0]["node_number"], ds[0]["node_number"])
+
+
+def test_to_batches_and_shape_hint():
+    ds = SyntheticQM9Dataset(num_molecules=16)
+    ds.map_list("set_range", max_distance=4.0, max_neighbours=10)
+    for g in ds:
+        g["edge_indices"] = g["range_indices"]
+    hint = ds.batch_shape_hint(batch_size=4)
+    batches = ds.to_batches(4, **hint)
+    assert len(batches) == 4
+    shapes = {(b.n_node, b.n_edge, b.n_graphs) for b in batches}
+    assert len(shapes) == 1  # single compiled shape
+
+
+def test_standard_scaler():
+    rs = np.random.RandomState(0)
+    y = rs.randn(50, 2) * 5 + 3
+    sc = StandardLabelScaler()
+    yt = sc.fit_transform(y)
+    assert abs(yt.mean()) < 1e-6 and abs(yt.std() - 1) < 0.05
+    back = sc.inverse_transform(yt)
+    assert np.allclose(back, y)
+
+
+def test_extensive_scaler_removes_composition():
+    """Ridge per-element offsets recover the synthetic dataset's offsets."""
+    ds = SyntheticQM9Dataset(num_molecules=64)
+    y = np.array([g["energy"][0] for g in ds])
+    z = [g["node_number"] for g in ds]
+    sc = ExtensiveMolecularLabelScaler(standardize_scale=False)
+    yt = sc.fit(y, z).transform(y, z)
+    # residual after removing composition term is the small pair energy
+    assert np.abs(yt).mean() < np.abs(y).mean() * 0.05
+    back = sc.inverse_transform(yt, z)
+    assert np.allclose(back, y, atol=1e-5)
+
+
+def test_energy_force_scaler_dataset_roundtrip():
+    ds = SyntheticMDDataset(num_frames=16)
+    f0 = np.array(ds[0]["force"])
+    e0 = float(ds[0]["energy"][0])
+    sc = EnergyForceExtensiveLabelScaler()
+    sc.fit_dataset(ds)
+    sc.transform_dataset(ds)
+    assert not np.allclose(ds[0]["force"], f0)
+    sc.inverse_transform_dataset(ds)
+    assert np.allclose(ds[0]["force"], f0, atol=1e-4)
+    assert abs(float(ds[0]["energy"][0]) - e0) < 1e-3
+
+
+def test_scaler_json_roundtrip(tmp_path):
+    ds = SyntheticMDDataset(num_frames=8)
+    sc = EnergyForceExtensiveLabelScaler()
+    sc.fit_dataset(ds)
+    path = str(tmp_path / "scaler.json")
+    sc.save(path)
+    sc2 = EnergyForceExtensiveLabelScaler().load(path)
+    assert np.allclose(sc2.scale_, sc.scale_)
+
+
+def test_synthetic_citation():
+    ds = SyntheticCitationDataset(num_nodes=100)
+    g = ds[0]
+    assert "edge_weights" in g
+    assert g["node_attributes"].shape[0] == 100
+
+
+def test_extxyz_io(tmp_path):
+    from gcnn_keras_tpu.mol.io import read_extxyz_file
+    path = str(tmp_path / "test.extxyz")
+    with open(path, "w") as f:
+        f.write('3\nLattice="10 0 0 0 10 0 0 0 10" Properties=species:S:1:pos:R:3:forces:R:3 energy=-75.5 charge=0.0\n')
+        f.write("O 0.0 0.0 0.0 0.1 0.0 0.0\n")
+        f.write("H 0.96 0.0 0.0 -0.1 0.0 0.0\n")
+        f.write("H -0.24 0.93 0.0 0.0 0.0 0.0\n")
+    frames = read_extxyz_file(path)
+    assert len(frames) == 1
+    fr = frames[0]
+    assert np.array_equal(fr["node_number"], [8, 1, 1])
+    assert fr["energy"][0] == -75.5
+    assert fr["force"].shape == (3, 3)
+    assert fr["graph_lattice"].shape == (3, 3)
+
+
+def test_dataset_deserialize():
+    from gcnn_keras_tpu.data.serial import deserialize
+    ds = deserialize({"class_name": "SyntheticQM9Dataset",
+                      "config": {"num_molecules": 4},
+                      "methods": [{"map_list": {"method": "set_range",
+                                                "max_distance": 4.0}}]})
+    assert len(ds) == 4
+    assert "range_indices" in ds[0]

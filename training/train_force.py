@@ -1,0 +1,148 @@
+"""Energy+force training driver (parity: reference
+``training/train_force.py`` + fork ``force_schnet.py``/``force_painn.py``):
+dataset -> extensive scaler -> EnergyForceModel -> jitted train loop ->
+scores. Offline default: SyntheticMDDataset.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--hyper", default=None)
+    ap.add_argument("--model", default="Schnet")
+    ap.add_argument("--epochs", type=int, default=50)
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--frames", type=int, default=128)
+    ap.add_argument("--energy-weight", type=float, default=1.0)
+    ap.add_argument("--force-weight", type=float, default=50.0)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--checkpoint-dir", default=None)
+    args = ap.parse_args()
+
+    import jax
+    import optax
+    from gcnn_keras_tpu.data.scalers import EnergyForceExtensiveLabelScaler
+    from gcnn_keras_tpu.data.loader import GraphBatchLoader
+    from gcnn_keras_tpu.model.force import EnergyForceModel
+    from gcnn_keras_tpu.models.registry import get_model_class
+    from gcnn_keras_tpu.training.losses import masked_graph_mae, masked_node_mae
+    from gcnn_keras_tpu.training.history import save_history_score
+
+    if args.hyper:
+        from gcnn_keras_tpu.training.hyper import HyperParameter
+        from gcnn_keras_tpu.data.serial import deserialize
+        hyper = HyperParameter(args.hyper, model_name=args.model)
+        ds = deserialize(hyper["data"]["dataset"])
+        energy_model = hyper.make_model()
+        optimizer = hyper.make_optimizer()
+    else:
+        from gcnn_keras_tpu.data.datasets.synthetic import SyntheticMDDataset
+        ds = SyntheticMDDataset(num_frames=args.frames, seed=args.seed)
+        builder = get_model_class(args.model)
+        if args.model == "Schnet":
+            energy_model = builder(depth=3, interaction_args={"units": 64},
+                                   gauss_args={"bins": 20, "distance_max": 5.0},
+                                   last_mlp={"units": [64, 32],
+                                             "activation": ["shifted_softplus"] * 2},
+                                   output_mlp={"units": [16, 1],
+                                               "activation": ["shifted_softplus", "linear"]})
+        elif args.model == "PAiNN":
+            energy_model = builder(depth=2, conv_args={"units": 64},
+                                   update_args={"units": 64},
+                                   input_embedding={"node": {"output_dim": 64}},
+                                   output_mlp={"units": [64, 1],
+                                               "activation": ["swish", "linear"]})
+        else:
+            energy_model = builder()
+        total_steps = args.epochs * max(args.frames // args.batch_size, 1)
+        warmup = min(50, max(total_steps // 10, 1))
+        optimizer = optax.adam(optax.warmup_cosine_decay_schedule(
+            0.0, 1e-3, warmup, max(total_steps, warmup + 1)))
+
+    # preprocessing: neighbor lists
+    ds.map_list("set_range", max_distance=4.0, max_neighbours=15)
+    for g in ds:
+        g["edge_indices"] = g["range_indices"]
+
+    # split + scaler (fit on train only)
+    rs = np.random.RandomState(args.seed)
+    idx = rs.permutation(len(ds))
+    n_test = max(len(ds) // 5, 1)
+    test_idx, train_idx = idx[:n_test], idx[n_test:]
+    train, test = ds[train_idx], ds[test_idx]
+    scaler = EnergyForceExtensiveLabelScaler()
+    scaler.fit_dataset(train)
+    scaler.transform_dataset(train)
+    scaler.transform_dataset(test)
+
+    hint = train.batch_shape_hint(args.batch_size)
+    loader = GraphBatchLoader(list(train), args.batch_size, shuffle=True,
+                              seed=args.seed, global_keys=("energy",), **hint)
+    fmodel = EnergyForceModel(energy_model)
+    first = next(iter(loader))
+    params = fmodel.init(jax.random.PRNGKey(args.seed), first)
+    opt_state = optimizer.init(params)
+
+    def loss_fn(p, b):
+        out = fmodel.apply(p, b)
+        e_loss = masked_graph_mae(out["energy"], b.globals["energy"],
+                                  b.globals["graph_mask"])
+        f_loss = masked_node_mae(out["force"], b.nodes["force"], b.node_mask)
+        return args.energy_weight * e_loss + args.force_weight * f_loss, \
+            {"energy_mae": e_loss, "force_mae": f_loss}
+
+    @jax.jit
+    def step(p, s, b):
+        (l, m), grads = jax.value_and_grad(loss_fn, has_aux=True)(p, b)
+        updates, s = optimizer.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, l, m
+
+    test_batch = test.to_batch(global_keys=("energy",))
+    hist = {"loss": [], "val_energy_mae": [], "val_force_mae": []}
+    t0 = time.perf_counter()
+    for epoch in range(args.epochs):
+        losses = []
+        for b in loader:
+            params, opt_state, l, m = step(params, opt_state, b)
+            losses.append(float(l))
+        out = fmodel.apply(params, test_batch)
+        ve = float(masked_graph_mae(out["energy"], test_batch.globals["energy"],
+                                    test_batch.globals["graph_mask"]))
+        vf = float(masked_node_mae(out["force"], test_batch.nodes["force"],
+                                   test_batch.node_mask))
+        hist["loss"].append(float(np.mean(losses)))
+        hist["val_energy_mae"].append(ve)
+        hist["val_force_mae"].append(vf)
+        if epoch % 10 == 0 or epoch == args.epochs - 1:
+            print(f"epoch {epoch}: loss={hist['loss'][-1]:.4f} "
+                  f"val_E_mae={ve:.4f} val_F_mae={vf:.4f}")
+    elapsed = time.perf_counter() - t0
+
+    if args.checkpoint_dir:
+        from gcnn_keras_tpu.utils.checkpoint import save_checkpoint
+        save_checkpoint(args.checkpoint_dir, params, opt_state=opt_state,
+                        step=args.epochs)
+        scaler.save(f"{args.checkpoint_dir}/scaler.json")
+
+    scale = float(scaler.scale_[0])
+    score = save_history_score(
+        [hist], f"results/force/{args.model}_score.yaml",
+        model_name=args.model, dataset_name="SyntheticMD",
+        seed=args.seed, time_list=[elapsed])
+    print(json.dumps({
+        "val_force_mae_scaled": hist["val_force_mae"][-1] * scale,
+        "val_energy_mae_scaled": hist["val_energy_mae"][-1] * scale,
+        "time_s": elapsed}))
+
+
+if __name__ == "__main__":
+    main()
