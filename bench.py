@@ -10,8 +10,10 @@ import time
 
 import numpy as np
 
-# First recorded single-chip value (edges/sec) to normalize vs_baseline.
-BENCH_BASE = 1.0e6  # placeholder until first TPU run locks it in
+# First recorded single-chip value (edges/sec) at THIS config (128-molecule
+# batch, reference-default SchNet, energy+force train step on TPU v5e),
+# measured 2026-08-17. vs_baseline tracks genuine speedups from here.
+BENCH_BASE = 16.56e6
 
 
 def main():
@@ -27,7 +29,7 @@ def main():
 
     rs = np.random.RandomState(0)
     graphs = []
-    n_mols = 32
+    n_mols = 128  # production-like batch: ~25k edges, saturates the chip
     for _ in range(n_mols):
         n = rs.randint(12, 21)  # QM9-like molecule sizes
         g = {

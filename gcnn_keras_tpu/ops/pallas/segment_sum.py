@@ -71,7 +71,12 @@ def _kernel(off_ref, recv_hbm, val_hbm, out_ref, acc, vscr, rscr, sems):
         recv = rscr[slot]  # (1, E_BLK) int32
         vals = vscr[slot]  # (E_BLK, F)
         onehot = (recv == row_ids).astype(vals.dtype)  # (N_BLK, E_BLK)
-        acc[...] += jnp.dot(onehot, vals, preferred_element_type=jnp.float32)
+        # HIGHEST: keep f32 accumulate exact-ish (default MXU path truncates
+        # the values to bf16, ~3e-2 abs error on unit-scale sums)
+        acc[...] += jax.lax.dot_general(
+            onehot, vals, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
         return ()
 
     jax.lax.fori_loop(0, num_chunks, body, (), unroll=False)
@@ -81,11 +86,13 @@ def _kernel(off_ref, recv_hbm, val_hbm, out_ref, acc, vscr, rscr, sems):
 @functools.partial(jax.jit, static_argnames=("num_segments",))
 def _sorted_segment_sum_pallas(values: Array, receivers: Array,
                                num_segments: int) -> Array:
-    e, f = values.shape
+    e, f_in = values.shape
     n_pad = ((num_segments + N_BLK - 1) // N_BLK) * N_BLK
     e_pad = ((e + E_BLK - 1) // E_BLK) * E_BLK
-    if e_pad != e:
-        values = jnp.pad(values, ((0, e_pad - e), (0, 0)))
+    # lane tiling: HBM->VMEM DMA slices need a 128-aligned feature dim
+    f = ((f_in + 127) // 128) * 128
+    if e_pad != e or f != f_in:
+        values = jnp.pad(values, ((0, e_pad - e), (0, f - f_in)))
         receivers = jnp.pad(receivers, (0, e_pad - e),
                             constant_values=jnp.int32(n_pad))
     recv = receivers.astype(jnp.int32)
@@ -114,7 +121,7 @@ def _sorted_segment_sum_pallas(values: Array, receivers: Array,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, f), values.dtype),
     )(offsets, recv[None, :], values)
-    return out[:num_segments]
+    return out[:num_segments, :f_in]
 
 
 def sorted_segment_sum_pallas(values: Array, receivers: Array,
@@ -122,26 +129,22 @@ def sorted_segment_sum_pallas(values: Array, receivers: Array,
     """Segment-sum for RECEIVER-SORTED edges. values (E, F) float,
     receivers (E,) int32 ascending, -> (num_segments, F).
 
-    Differentiable: backward of segment-sum is a gather, supplied via
-    custom VJP so the backward pass stays a single fast gather.
+    Segment-sum is LINEAR in ``values``, so derivatives are registered via
+    ``linear_call`` with the transpose = gather — this supports
+    arbitrary-order autodiff (needed because training losses differentiate
+    through forces, i.e. grad-of-grad), which a custom_vjp cannot.
     """
-    return _segsum(values, receivers, num_segments)
+    from jax.custom_derivatives import linear_call
 
+    def fwd(res, vals):
+        (recv,) = res
+        return _sorted_segment_sum_pallas(vals, recv, num_segments)
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _segsum(values, receivers, num_segments):
-    return _sorted_segment_sum_pallas(values, receivers, num_segments)
+    def trans(res, ct):
+        (recv,) = res
+        return jnp.take(ct, recv, axis=0, mode="clip")
 
-
-def _segsum_fwd(values, receivers, num_segments):
-    return _sorted_segment_sum_pallas(values, receivers, num_segments), receivers
-
-
-def _segsum_bwd(num_segments, receivers, g):
-    return jnp.take(g, receivers, axis=0), None
-
-
-_segsum.defvjp(_segsum_fwd, _segsum_bwd)
+    return linear_call(fwd, trans, (receivers,), values)
 
 
 def segment_sum_auto(values: Array, receivers: Array, num_segments: int,
