@@ -201,24 +201,50 @@ def batch_graphs(
             edge_mask[e_off : e_off + m] = True
         e_off += m
 
-    # Collect property arrays.
+    # Collect property arrays. Classification must be CONSISTENT across
+    # graphs (a graph with n_nodes == n_edges is shape-ambiguous), so names
+    # are classified once, by prefix first, then by shape on the first
+    # graph that carries the key.
+    def _classify(k: str, v: np.ndarray, cn: int, ce: int) -> str:
+        if k in global_keys or v.ndim == 0:
+            return "global"
+        if k.startswith(("node_",)):
+            return "node"
+        if k.startswith(("edge_", "range_", "bond_")):
+            return "edge"
+        if k.startswith(("graph_", "total_")):
+            return "global"
+        # canonical kgcnn property names whose shapes can be ambiguous
+        if k in ("force", "forces", "esp", "esp_grad", "charge", "charges",
+                 "node_representation"):
+            return "node"
+        if k in ("energy", "energies", "num_nodes"):
+            return "global"
+        if v.ndim >= 1 and v.shape[0] == cn:
+            return "node"
+        if v.ndim >= 1 and v.shape[0] == ce:
+            return "edge"
+        return "global"
+
+    kind: Dict[str, str] = {}
+    for gi, g in enumerate(graphs):
+        for k, v in g.items():
+            if k in (edge_index_key, angle_index_key, angle_edge_index_key):
+                continue
+            if k not in kind:
+                kind[k] = _classify(k, np.asarray(v), counts_n[gi], counts_e[gi])
+
     node_props: Dict[str, List[np.ndarray]] = {}
     edge_props: Dict[str, List[np.ndarray]] = {}
     glob_props: Dict[str, List[np.ndarray]] = {}
     for gi, g in enumerate(graphs):
-        cn, ce = counts_n[gi], counts_e[gi]
         for k, v in g.items():
             if k in (edge_index_key, angle_index_key, angle_edge_index_key):
                 continue
             v = np.asarray(v)
-            if k in global_keys or v.ndim == 0:
-                glob_props.setdefault(k, []).append(np.atleast_1d(v))
-            elif v.ndim >= 1 and v.shape[0] == cn and (k not in edge_props):
-                node_props.setdefault(k, []).append(v)
-            elif v.ndim >= 1 and v.shape[0] == ce and (k not in node_props):
-                edge_props.setdefault(k, []).append(v)
-            else:
-                glob_props.setdefault(k, []).append(v)
+            dest = {"node": node_props, "edge": edge_props,
+                    "global": glob_props}[kind[k]]
+            dest.setdefault(k, []).append(np.atleast_1d(v) if v.ndim == 0 else v)
 
     def _pad_cat(parts: List[np.ndarray], total: int) -> np.ndarray:
         cat = np.concatenate(parts, axis=0) if parts else np.zeros((0,))

@@ -28,13 +28,14 @@ class SchNetCFconv(nn.Module):
     activation: Any = "shifted_softplus"
     use_bias: bool = True
     cfconv_pool: str = "sum"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, batch: GraphBatch, nodes: Array, edge_basis: Array) -> Array:
         f = Dense(self.units, activation=self.activation, use_bias=self.use_bias,
-                  name="filter_1")(edge_basis)
+                  dtype=self.dtype, name="filter_1")(edge_basis)
         f = Dense(self.units, activation="linear", use_bias=self.use_bias,
-                  name="filter_2")(f)
+                  dtype=self.dtype, name="filter_2")(f)
         xj = gather_nodes(nodes, batch.senders)
         return pool_edges_to_nodes(batch, xj * f, mode=self.cfconv_pool)
 
@@ -44,15 +45,17 @@ class SchNetInteraction(nn.Module):
     activation: Any = "shifted_softplus"
     use_bias: bool = True
     cfconv_pool: str = "sum"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, batch: GraphBatch, nodes: Array, edge_basis: Array) -> Array:
-        x = Dense(self.units, activation="linear", use_bias=False, name="pre")(nodes)
+        x = Dense(self.units, activation="linear", use_bias=False,
+                  dtype=self.dtype, name="pre")(nodes)
         x = SchNetCFconv(self.units, activation=self.activation,
                          use_bias=self.use_bias, cfconv_pool=self.cfconv_pool,
-                         name="cfconv")(batch, x, edge_basis)
+                         dtype=self.dtype, name="cfconv")(batch, x, edge_basis)
         x = Dense(self.units, activation=self.activation, use_bias=self.use_bias,
-                  name="post_1")(x)
+                  dtype=self.dtype, name="post_1")(x)
         x = Dense(self.units, activation="linear", use_bias=self.use_bias,
-                  name="post_2")(x)
-        return nodes + x
+                  dtype=self.dtype, name="post_2")(x)
+        return nodes + x.astype(nodes.dtype)

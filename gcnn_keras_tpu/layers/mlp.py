@@ -26,17 +26,23 @@ def _as_list(v, depth: int):
 
 
 class Dense(nn.Module):
-    """Dense layer with named activation (DenseEmbedding, modules.py:90)."""
+    """Dense layer with named activation (DenseEmbedding, modules.py:90).
+
+    ``dtype``: computation dtype (e.g. jnp.bfloat16 for MXU-friendly mixed
+    precision); params stay float32. None = input dtype.
+    """
 
     units: int
     activation: Any = "linear"
     use_bias: bool = True
     kernel_init: Any = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         init = self.kernel_init or nn.initializers.lecun_normal()
-        y = nn.Dense(self.units, use_bias=self.use_bias, kernel_init=init)(x)
+        y = nn.Dense(self.units, use_bias=self.use_bias, kernel_init=init,
+                     dtype=self.dtype, param_dtype=jnp.float32)(x)
         return get_activation(self.activation)(y)
 
 

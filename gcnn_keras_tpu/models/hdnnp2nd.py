@@ -127,6 +127,35 @@ def make_model_atom_wise(**kwargs) -> HDNNP2nd:
     return HDNNP2nd(config=cfg, mode="atom_wise")
 
 
+class HDNNP2ndInverseDistances(nn.Module):
+    """Flattened pairwise-distance-vector model
+    (parity: HDNNP2nd.py:344 make_model_inverse_distances — the reference
+    hardcodes 15 atoms; here the padded ``max_nodes`` plays that role)."""
+
+    config: Dict[str, Any]
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, train: bool = False) -> Dict[str, Any]:
+        import jax.numpy as jnp
+        from ..batch import flat_to_padded
+        cfg = self.config
+        pos = flat_to_padded(batch.nodes["node_coordinates"], batch)  # (G,M,3)
+        diff = pos[:, :, None, :] - pos[:, None, :, :]
+        d = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 1e-12))
+        M = d.shape[1]
+        iu = jnp.triu_indices(M, k=1)
+        flat = d[:, iu[0], iu[1]]  # (G, M*(M-1)/2)
+        out = MLP(cfg["mlp_kwargs"]["units"],
+                  activation=cfg["mlp_kwargs"]["activation"], name="mlp")(flat)
+        return {"output": out}
+
+
+def make_model_inverse_distances(**kwargs) -> HDNNP2ndInverseDistances:
+    cfg = update_model_kwargs(model_default_atom_wise, kwargs)
+    return HDNNP2ndInverseDistances(config=cfg)
+
+
 def make_model(**kwargs) -> HDNNP2nd:
-    """Default is the Behler variant (parity: HDNNP2nd.py:345)."""
-    return make_model_behler(**kwargs)
+    """Default is the weighted variant like the reference
+    (HDNNP2nd.py:425 ``make_model = make_model_weighted``)."""
+    return make_model_weighted(**kwargs)

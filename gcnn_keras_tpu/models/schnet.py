@@ -36,6 +36,12 @@ model_default = dict(
     output_embedding="graph",
     use_output_mlp=True,
     output_mlp={"units": [64, 1], "activation": ["shifted_softplus", "linear"]},
+    # "bfloat16" runs the interaction dense layers in bf16 on the MXU
+    # (params + geometry + readout stay float32). Measured on v5e: bf16 is
+    # ~4.5x SLOWER for the energy+force train step (3.6M vs 16.6M edges/s) —
+    # the step is gather/scatter-bound, so the casts only add overhead.
+    # Keep None (f32) unless the model is matmul-dominated.
+    dtype=None,
 )
 
 
@@ -57,10 +63,13 @@ class Schnet(nn.Module):
         # zero the basis on padding edges so filters see exact zeros
         ed = ed * batch.edge_mask[:, None].astype(ed.dtype)
 
+        import jax.numpy as jnp
+        dtype = {"bfloat16": jnp.bfloat16, "float32": None,
+                 None: None}.get(cfg.get("dtype"), cfg.get("dtype"))
         units = cfg["interaction_args"]["units"]
         n = Dense(units, activation="linear", name="embed_to_units")(n)
         for i in range(cfg["depth"]):
-            n = SchNetInteraction(**cfg["interaction_args"],
+            n = SchNetInteraction(**cfg["interaction_args"], dtype=dtype,
                                   name=f"interaction_{i}")(batch, n, ed)
 
         n = MLP(cfg["last_mlp"]["units"], activation=cfg["last_mlp"]["activation"],

@@ -1,0 +1,118 @@
+"""Crystal property regression driver (parity: reference
+``training/train_crystal.py``): periodic structures -> radius graphs ->
+Schnet/Megnet/CGCNN crystal models."""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def synthetic_crystals(n=64, seed=0):
+    """Random periodic structures with a synthetic cohesive-energy label."""
+    from gcnn_keras_tpu.crystal.graph_builder import structure_to_graph, add_radius_bonds
+    rs = np.random.RandomState(seed)
+    out = []
+    for _ in range(n):
+        na = rs.randint(2, 7)
+        a = 3.5 + rs.rand() * 2
+        lattice = np.diag([a, a, a]) + rs.randn(3, 3) * 0.1
+        frac = rs.rand(na, 3)
+        z = rs.choice([3, 8, 13, 14, 26], size=na)
+        g = structure_to_graph({"frac_coords": frac, "lattice": lattice,
+                                "atomic_numbers": z})
+        g = add_radius_bonds(g, radius=4.0, max_neighbours=12)
+        d = np.asarray(g["range_attributes"]).reshape(-1)
+        label = float(np.exp(-d).sum() / na + 0.05 * z.mean())
+        g["graph_labels"] = np.array([label], dtype=np.float32)
+        g["edge_indices"] = g["range_indices"]
+        out.append(g)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="Schnet")
+    ap.add_argument("--epochs", type=int, default=40)
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--structures", type=int, default=64)
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args()
+
+    import jax
+    import optax
+    from gcnn_keras_tpu.data.dataset import MemoryGraphDataset
+    from gcnn_keras_tpu.data.loader import GraphBatchLoader
+    from gcnn_keras_tpu.models.registry import get_model_class
+    from gcnn_keras_tpu.training.losses import masked_graph_mae
+    from gcnn_keras_tpu.training.history import save_history_score
+
+    ds = MemoryGraphDataset(graphs=synthetic_crystals(args.structures, args.seed))
+    builder = get_model_class(args.model, "make_crystal_model")
+    if args.model == "Schnet":
+        model = builder(depth=3, interaction_args={"units": 64},
+                        gauss_args={"bins": 20, "distance_max": 4.0},
+                        last_mlp={"units": [64, 32],
+                                  "activation": ["shifted_softplus"] * 2},
+                        output_mlp={"units": [16, 1],
+                                    "activation": ["shifted_softplus", "linear"]})
+    elif args.model == "CGCNN":
+        model = builder(depth=3, conv_layer_args={"units": 64})
+    else:
+        model = builder()
+    optimizer = optax.adam(1e-3)
+
+    rs = np.random.RandomState(args.seed)
+    idx = rs.permutation(len(ds))
+    n_test = max(len(ds) // 5, 1)
+    train, test = ds[idx[n_test:]], ds[idx[:n_test]]
+    hint = train.batch_shape_hint(args.batch_size)
+    loader = GraphBatchLoader(list(train), args.batch_size, shuffle=True,
+                              seed=args.seed, global_keys=("graph_labels",),
+                              **hint)
+    first = next(iter(loader))
+    params = model.init(jax.random.PRNGKey(args.seed), first, train=False)
+    opt_state = optimizer.init(params)
+
+    def loss_fn(p, b):
+        out = model.apply(p, b, train=False)["output"]
+        return masked_graph_mae(out, b.globals["graph_labels"],
+                                b.globals["graph_mask"]), {}
+
+    @jax.jit
+    def step(p, s, b):
+        (l, _), g = jax.value_and_grad(loss_fn, has_aux=True)(p, b)
+        up, s = optimizer.update(g, s, p)
+        return optax.apply_updates(p, up), s, l
+
+    test_batch = test.to_batch(global_keys=("graph_labels",))
+    hist = {"loss": [], "val_mae": []}
+    t0 = time.perf_counter()
+    for epoch in range(args.epochs):
+        losses = []
+        for b in loader:
+            params, opt_state, l = step(params, opt_state, b)
+            losses.append(float(l))
+        out = model.apply(params, test_batch, train=False)["output"]
+        vm = float(masked_graph_mae(out, test_batch.globals["graph_labels"],
+                                    test_batch.globals["graph_mask"]))
+        hist["loss"].append(float(np.mean(losses)))
+        hist["val_mae"].append(vm)
+        if epoch % 10 == 0 or epoch == args.epochs - 1:
+            print(f"epoch {epoch}: loss={hist['loss'][-1]:.4f} val_mae={vm:.4f}")
+    elapsed = time.perf_counter() - t0
+
+    score = save_history_score([hist], f"results/crystal/{args.model}_score.yaml",
+                               model_name=args.model,
+                               dataset_name="SyntheticCrystal",
+                               seed=args.seed, time_list=[elapsed])
+    print(json.dumps({"val_mae_mean": score.get("val_mae_mean")}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""Graph classification driver on TUDataset-format data (parity: reference
+``training/train_tudataset.py``)."""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="GIN")
+    ap.add_argument("--dataset", default=None,
+                    help="TUDataset name (e.g. MUTAG); default synthetic")
+    ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--folds", type=int, default=3)
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from gcnn_keras_tpu.data.loader import GraphBatchLoader
+    from gcnn_keras_tpu.models.registry import get_model_class
+    from gcnn_keras_tpu.training.losses import (
+        masked_categorical_crossentropy, masked_accuracy)
+    from gcnn_keras_tpu.training.history import save_history_score
+    from gcnn_keras_tpu.utils.data_splitter import kfold_indices
+
+    if args.dataset:
+        from gcnn_keras_tpu.data.datasets.tudataset import GraphTUDataset2020
+        ds = GraphTUDataset2020(dataset_name=args.dataset)
+        ds.read_in_memory()
+    else:
+        # synthetic binary classification: label = graph has a triangle-rich hub
+        from gcnn_keras_tpu.data.datasets.synthetic import SyntheticQM9Dataset
+        ds = SyntheticQM9Dataset(num_molecules=96, seed=args.seed)
+        ds.map_list("set_range", max_distance=4.0, max_neighbours=10)
+        for g in ds:
+            g["edge_indices"] = g["range_indices"]
+            g["graph_labels"] = np.array(
+                [float(len(g["node_number"]) > 9)], dtype=np.float32)
+
+    labels = np.array([int(np.asarray(g["graph_labels"]).reshape(-1)[0])
+                       for g in ds])
+    n_classes = int(labels.max()) + 1
+    builder = get_model_class(args.model)
+    histories, times = [], []
+    for fold, (tr, te) in enumerate(kfold_indices(len(ds), k=args.folds,
+                                                  seed=args.seed)):
+        model = builder(depth=3,
+                        gin_mlp={"units": [64, 64], "activation": ["relu", "linear"]},
+                        last_mlp={"units": [64], "activation": ["relu"]},
+                        output_mlp={"units": [n_classes], "activation": ["linear"]}) \
+            if args.model == "GIN" else builder()
+        optimizer = optax.adam(1e-3)
+        train, test = ds[tr], ds[te]
+        hint = train.batch_shape_hint(args.batch_size)
+        loader = GraphBatchLoader(list(train), args.batch_size, shuffle=True,
+                                  seed=args.seed, global_keys=("graph_labels",),
+                                  **hint)
+        first = next(iter(loader))
+        params = model.init(jax.random.PRNGKey(fold), first, train=False)
+        opt_state = optimizer.init(params)
+
+        def loss_fn(p, b):
+            out = model.apply(p, b, train=False)["output"]
+            y = b.globals["graph_labels"].reshape(-1).astype(jnp.int32)
+            return masked_categorical_crossentropy(
+                out, y, b.globals["graph_mask"]), out
+
+        @jax.jit
+        def step(p, s, b):
+            (l, _), g = jax.value_and_grad(loss_fn, has_aux=True)(p, b)
+            up, s = optimizer.update(g, s, p)
+            return optax.apply_updates(p, up), s, l
+
+        test_batch = test.to_batch(global_keys=("graph_labels",))
+        hist = {"loss": [], "val_accuracy": []}
+        t0 = time.perf_counter()
+        for epoch in range(args.epochs):
+            losses = []
+            for b in loader:
+                params, opt_state, l = step(params, opt_state, b)
+                losses.append(float(l))
+            out = model.apply(params, test_batch, train=False)["output"]
+            y = jnp.asarray(labels[te])
+            acc = float(masked_accuracy(
+                out[:len(te)], y, test_batch.globals["graph_mask"][:len(te)]))
+            hist["loss"].append(float(np.mean(losses)))
+            hist["val_accuracy"].append(acc)
+        times.append(time.perf_counter() - t0)
+        histories.append(hist)
+        print(f"fold {fold}: val_acc={hist['val_accuracy'][-1]:.4f}")
+
+    score = save_history_score(histories,
+                               f"results/tudataset/{args.model}_score.yaml",
+                               model_name=args.model,
+                               dataset_name=args.dataset or "synthetic",
+                               seed=args.seed, time_list=times)
+    print(json.dumps({"val_accuracy_mean": score.get("val_accuracy_mean")}))
+
+
+if __name__ == "__main__":
+    main()
