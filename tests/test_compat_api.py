@@ -1,0 +1,75 @@
+"""The kgcnn-named compatibility surface works on flat batches."""
+import numpy as np
+import jax.numpy as jnp
+
+from tests.test_model_zoo import make_mol_batch
+
+
+def test_pooling_compat_names():
+    from gcnn_keras_tpu.layers.pooling import (
+        PoolingLocalEdges, PoolingNodes, PoolingGlobalEdges,
+        PoolingWeightedLocalEdges,
+    )
+    b = make_mol_batch(with_edge_attr=True)
+    ev = b.edges["edge_attributes"]
+    out = PoolingLocalEdges("segment_sum")(b, ev)
+    assert out.shape == (b.n_node, ev.shape[-1])
+    w = b.edges["edge_weights"]
+    out2 = PoolingWeightedLocalEdges("sum")(b, ev, w)
+    assert out2.shape == out.shape
+    nv = jnp.ones((b.n_node, 4))
+    g = PoolingNodes("mean")(b, nv)
+    assert g.shape == (b.n_graphs, 4)
+    ge = PoolingGlobalEdges("sum")(b, ev)
+    assert ge.shape == (b.n_graphs, ev.shape[-1])
+
+
+def test_gather_compat_names():
+    from gcnn_keras_tpu.layers.gather import (
+        GatherNodes, GatherNodesIngoing, GatherNodesOutgoing, GatherState,
+    )
+    b = make_mol_batch()
+    nv = jnp.asarray(np.random.RandomState(0).randn(b.n_node, 8).astype(np.float32))
+    both = GatherNodes()(b, nv)
+    assert both.shape == (b.n_edge, 16)
+    gi = GatherNodesIngoing()(b, nv)
+    go = GatherNodesOutgoing()(b, nv)
+    assert np.allclose(np.asarray(both[:, :8]), np.asarray(gi))
+    assert np.allclose(np.asarray(both[:, 8:]), np.asarray(go))
+    st = jnp.ones((b.n_graphs, 4))
+    assert GatherState()(b, st).shape == (b.n_node, 4)
+
+
+def test_partition_ops():
+    from gcnn_keras_tpu.ops.partition import (
+        change_partition_by_name, partition_row_indexing,
+    )
+    lengths = jnp.asarray([3, 2, 4])
+    splits = change_partition_by_name(lengths, "row_length", "row_splits")
+    assert np.array_equal(np.asarray(splits), [0, 3, 5, 9])
+    back = change_partition_by_name(splits, "row_splits", "row_length")
+    assert np.array_equal(np.asarray(back), [3, 2, 4])
+    # per-sample edge indices -> disjoint
+    idx = jnp.asarray([0, 1, 0, 1, 2, 0])
+    rowids = jnp.asarray([0, 0, 1, 1, 1, 2])
+    shifted = partition_row_indexing(idx, splits, rowids)
+    assert np.array_equal(np.asarray(shifted), [0, 1, 3, 4, 5, 5])
+
+
+def test_casting_dense_adjacency():
+    from gcnn_keras_tpu.layers.casting import cast_edges_to_dense_adjacency
+    b = make_mol_batch()
+    adj = cast_edges_to_dense_adjacency(b)
+    assert adj.shape[0] == b.n_graphs
+    # symmetric since edges are undirected in the fixture
+    assert np.allclose(np.asarray(adj), np.asarray(adj).transpose(0, 2, 1))
+
+
+def test_scatter_by_name():
+    from gcnn_keras_tpu.ops.scatter import tensor_scatter_nd_ops_by_name
+    target = jnp.zeros((4, 2))
+    indices = jnp.asarray([[0], [2], [0]])
+    updates = jnp.asarray([[1.0, 1], [2, 2], [3, 3]])
+    out = tensor_scatter_nd_ops_by_name("add", target, indices, updates)
+    assert np.allclose(np.asarray(out)[0], [4, 4])
+    assert np.allclose(np.asarray(out)[2], [2, 2])
