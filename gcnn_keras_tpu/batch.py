@@ -315,6 +315,16 @@ def batch_graphs(
             inv_order[order] = np.arange(E)
             angle_edges = inv_order[angle_edges]
 
+    if sort_edges_by_receiver:
+        # slot of each edge within its receiver's group (edges are sorted by
+        # receiver, so this is the within-group rank) — enables fixed-shape
+        # neighbor matrices for sequence-style pooling (LSTM/attention).
+        if E:
+            starts = np.searchsorted(receivers, receivers, side="left")
+            edges["edge_slot"] = (np.arange(E) - starts).astype(np.int32)
+        else:
+            edges["edge_slot"] = np.zeros(0, dtype=np.int32)
+
     if compute_reverse_edges:
         # global reverse-edge position per edge (self if no reverse exists) —
         # DMPNN's pair map (kgcnn/graph/adj.py:596), computed AFTER sorting

@@ -57,6 +57,64 @@ class StandardLabelScaler:
         return self
 
 
+class StandardScaler(StandardLabelScaler):
+    """Feature-wise standardization for graph properties
+    (``transform/scaler/scaler.py:211``) — same math as the label scaler,
+    applied to per-node or per-graph feature matrices."""
+
+    def fit_dataset(self, dataset, key: str = "node_attributes"):
+        stacked = np.concatenate([np.asarray(g[key]) for g in dataset], axis=0)
+        return self.fit(stacked)
+
+    def transform_dataset(self, dataset, key: str = "node_attributes"):
+        for g in dataset:
+            g[key] = self.transform(np.asarray(g[key])).astype(np.float32)
+        return dataset
+
+
+class QMGraphLabelScaler:
+    """Per-target scaler list for multi-target QM labels
+    (``transform/scaler/mol.py:598``): each column gets its own scaler
+    (standard or extensive)."""
+
+    def __init__(self, scaler: List):
+        self.scalers = []
+        for s in scaler:
+            if isinstance(s, dict):
+                cls = {"StandardLabelScaler": StandardLabelScaler,
+                       "ExtensiveMolecularLabelScaler": ExtensiveMolecularLabelScaler}[
+                    s["class_name"]]
+                self.scalers.append(cls(**s.get("config", {})))
+            else:
+                self.scalers.append(s)
+
+    def fit_transform(self, y: np.ndarray, atomic_number=None) -> np.ndarray:
+        y = np.asarray(y, dtype=np.float64)
+        out = np.zeros_like(y)
+        for i, s in enumerate(self.scalers):
+            col = y[:, i]
+            if isinstance(s, ExtensiveMolecularLabelScaler):
+                out[:, i] = s.fit(col, atomic_number).transform(col, atomic_number)
+            else:
+                out[:, i] = s.fit(col[:, None]).transform(col[:, None])[:, 0]
+        return out
+
+    def inverse_transform(self, y: np.ndarray, atomic_number=None) -> np.ndarray:
+        y = np.asarray(y, dtype=np.float64)
+        out = np.zeros_like(y)
+        for i, s in enumerate(self.scalers):
+            col = y[:, i]
+            if isinstance(s, ExtensiveMolecularLabelScaler):
+                out[:, i] = s.inverse_transform(col, atomic_number)
+            else:
+                out[:, i] = s.inverse_transform(col[:, None])[:, 0]
+        return out
+
+    def get_scaling(self) -> np.ndarray:
+        return np.array([np.asarray(s.get_scaling()).reshape(-1)[0]
+                         for s in self.scalers])
+
+
 def composition_matrix(atomic_numbers: Sequence[np.ndarray],
                        max_z: int = _MAX_Z) -> np.ndarray:
     """Count matrix X[i, z] = #atoms of element z in molecule i."""

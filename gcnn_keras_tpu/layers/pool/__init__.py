@@ -1,2 +1,3 @@
 from .set2set import Set2Set
+from .lstm import PoolingLocalEdgesLSTM
 from .topk import PoolingTopK, UnPoolingTopK, AdjacencyPower

@@ -73,3 +73,14 @@ def test_scatter_by_name():
     out = tensor_scatter_nd_ops_by_name("add", target, indices, updates)
     assert np.allclose(np.asarray(out)[0], [4, 4])
     assert np.allclose(np.asarray(out)[2], [2, 2])
+
+
+def test_lstm_pooling():
+    import jax
+    from gcnn_keras_tpu.layers.pool.lstm import PoolingLocalEdgesLSTM
+    b = make_mol_batch(with_edge_attr=True)
+    layer = PoolingLocalEdgesLSTM(units=8, max_neighbors=16)
+    params = layer.init(jax.random.PRNGKey(0), b, b.edges["edge_attributes"])
+    out = layer.apply(params, b, b.edges["edge_attributes"])
+    assert out.shape == (b.n_node, 8)
+    assert np.isfinite(np.asarray(out)).all()
