@@ -30,7 +30,7 @@ call instead — ``kgcnn/layers/pooling.py:66``).
 """
 from __future__ import annotations
 
-import dataclasses
+
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np

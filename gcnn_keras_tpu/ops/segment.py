@@ -9,7 +9,7 @@ code with fully static shapes.
 """
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Optional
 
 import jax

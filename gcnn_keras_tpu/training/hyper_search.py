@@ -5,7 +5,7 @@ e.g. ``val_force_mae``. Trials are persisted as JSON for retrieve_trial."""
 from __future__ import annotations
 
 import json
-import math
+
 import os
 import time
 from typing import Any, Callable, Dict, List, Optional, Tuple
