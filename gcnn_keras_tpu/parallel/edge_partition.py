@@ -7,11 +7,14 @@ sender features fetched across chips. No reference counterpart (the
 reference is strictly single-device, SURVEY §2.12).
 
 Two exchange strategies:
-- ``all_gather`` (default): sender features are all-gathered over ICI, then
-  gathered locally — one fused XLA collective, optimal when F or the halo
-  fraction is large.
-- planned: neighbor-only ``ppermute`` halo exchange (smaller messages,
-  overlappable with local aggregation).
+- ``all_gather``: sender features are all-gathered over ICI, then gathered
+  locally — one fused XLA collective, optimal when the halo fraction is
+  large or the partition has no locality.
+- ``halo`` (ppermute): with a locality-sorted block partition, remote
+  senders live almost exclusively on the ring neighbors; each device
+  ppermutes its boundary slab to its neighbors and gathers from
+  [left halo | local | right halo] — O(halo) traffic instead of O(N),
+  overlappable with local aggregation by XLA's scheduler.
 
 Host-side: ``partition_graph`` builds per-device local arrays with GLOBAL
 sender indices (resolved against the all-gathered feature table), so the
@@ -101,6 +104,69 @@ def partition_graph(node_feats: np.ndarray, senders: np.ndarray,
         node_feats=feats.reshape(D, n_loc, -1),
         senders_global=sg, receivers_local=rl, edge_mask=em,
         node_mask=node_mask.reshape(D, n_loc), n_local=n_loc, order=order)
+
+
+def make_halo_aggregate(mesh: Mesh, halo_size: int,
+                        message_fn: Optional[Callable] = None,
+                        axis: str = "data") -> Callable:
+    """ppermute halo-exchange variant: valid when every remote sender of a
+    device's edges lies within ``halo_size`` rows of the neighboring shards'
+    boundaries (guaranteed by a locality-sorted partition with
+    ``validate_halo``). Sender ids must be pre-encoded as indices into the
+    concatenated [left_halo | local | right_halo] buffer.
+    """
+
+    n_dev = mesh.shape[axis]  # static: ppermute perms must be concrete
+    right = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    left = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+
+    def device_fn(feats, senders_haloidx, recv_local, edge_mask):
+        feats = feats[0]
+        sg = senders_haloidx[0]
+        rl = recv_local[0]
+        em = edge_mask[0]
+        from_left = jax.lax.ppermute(feats[-halo_size:], axis, right)
+        from_right = jax.lax.ppermute(feats[:halo_size], axis, left)
+        table = jnp.concatenate([from_left, feats, from_right], axis=0)
+        xj = jnp.take(table, sg, axis=0)
+        if message_fn is not None:
+            xj = message_fn(xj)
+        xj = xj * em[:, None].astype(xj.dtype)
+        out = jax.ops.segment_sum(xj, rl, feats.shape[0],
+                                  indices_are_sorted=True)
+        return out[None]
+
+    fn = shard_map(device_fn, mesh=mesh,
+                   in_specs=(P(axis), P(axis), P(axis), P(axis)),
+                   out_specs=P(axis), check_vma=False)
+    return jax.jit(fn)
+
+
+def encode_halo_senders(part: PartitionedGraph, halo_size: int,
+                        n_devices: int):
+    """Re-encode global sender ids as [left_halo | local | right_halo]
+    buffer indices per device. Returns (senders_haloidx (D, E_loc) int32,
+    ok: bool) — ok False if some sender falls outside the halo."""
+    n_loc = part.n_local
+    sg = part.senders_global
+    out = np.zeros_like(sg)
+    ok = True
+    for d in range(n_devices):
+        lo = d * n_loc
+        s = sg[d].astype(np.int64)
+        rel = s - lo  # position relative to local block start
+        # local: [0, n_loc) -> halo buffer [halo, halo+n_loc)
+        idx = rel + halo_size
+        # left neighbor's tail: [-halo, 0) -> [0, halo)
+        left = (rel < 0) & (rel >= -halo_size)
+        idx = np.where(left, rel + halo_size, idx)
+        # right neighbor's head: [n_loc, n_loc+halo) -> [halo+n_loc, ...)
+        inside = (rel >= -halo_size) & (rel < n_loc + halo_size)
+        if not np.all(inside | ~part.edge_mask[d]):
+            ok = False
+        idx = np.clip(idx, 0, n_loc + 2 * halo_size - 1)
+        out[d] = idx
+    return out.astype(np.int32), ok
 
 
 def make_partitioned_aggregate(mesh: Mesh, message_fn: Optional[Callable] = None,

@@ -1,0 +1,25 @@
+"""Every module in the package must import cleanly (catches circular
+imports and missing optional-dependency gating)."""
+import importlib
+import pkgutil
+
+import gcnn_keras_tpu
+
+
+def test_import_all_modules():
+    failures = []
+    skip_substrings = ("graph_rdkit",)  # optional heavy deps are lazy anyway
+    for mod in pkgutil.walk_packages(gcnn_keras_tpu.__path__,
+                                     prefix="gcnn_keras_tpu."):
+        name = mod.name
+        try:
+            importlib.import_module(name)
+        except ImportError as e:
+            # optional deps must raise ONLY on use, not import — except for
+            # explicitly gated backends
+            if any(s in name for s in skip_substrings):
+                continue
+            failures.append((name, str(e)))
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"{type(e).__name__}: {e}"))
+    assert not failures, failures
