@@ -118,6 +118,32 @@ def fourier_basis(distance: Array, bins: int = 20, distance_max: float = 4.0) ->
     return jnp.where((k % 2 == 0)[None, :], even, odd)
 
 
+def frac_to_real_coordinates(batch: GraphBatch, frac: Optional[Array] = None,
+                             lattice_key: str = "graph_lattice") -> Array:
+    """Fractional -> cartesian per node using each graph's lattice
+    (FracToRealCoordinates, kgcnn/layers/geom.py:1012)."""
+    f = frac if frac is not None else batch.nodes["node_coordinates"]
+    lat = batch.globals[lattice_key][batch.graph_id]  # (N, 3, 3) rows = vectors
+    return jnp.einsum("ni,nij->nj", f, lat)
+
+
+def real_to_frac_coordinates(batch: GraphBatch, cart: Optional[Array] = None,
+                             lattice_key: str = "graph_lattice") -> Array:
+    """Cartesian -> fractional (inverse of frac_to_real_coordinates)."""
+    x = cart if cart is not None else batch.nodes["node_coordinates"]
+    lat = batch.globals[lattice_key]  # (G, 3, 3)
+    inv = jnp.linalg.inv(lat)[batch.graph_id]
+    return jnp.einsum("ni,nij->nj", x, inv)
+
+
+def displacement_vectors_unit_cell(batch: GraphBatch,
+                                   positions: Optional[Array] = None) -> Array:
+    """Edge displacement with minimum-image periodic shift from
+    ``range_image`` (DisplacementVectorsUnitCell, geom.py:964) — same as
+    ``edge_vectors`` with periodic inputs, exposed under the reference name."""
+    return edge_vectors(batch, positions)
+
+
 def angle_triples(batch: GraphBatch, positions: Optional[Array] = None,
                   key: str = "node_coordinates", eps: float = 1e-12
                   ) -> Tuple[Array, Array, Array]:
