@@ -30,20 +30,30 @@ _N_ELEM = 118
 
 
 def default_radial_eta_mu() -> np.ndarray:
-    """(118, 22, 2) generic (eta, mu) grid (wacsf_conv.py:15)."""
+    """(118, 22, 2) (eta, mu) table (wacsf_conv.py:15): generic grid for all
+    elements, overridden with the published optimized rows for H/C/N/O/F."""
+    from .wacsf_params import RADIAL_OPT
     mus = np.linspace(7.5, 0.5, 22)
     table = np.stack([np.full(22, 4.5), mus], axis=-1)
-    return np.broadcast_to(table, (_N_ELEM, 22, 2)).copy()
+    out = np.broadcast_to(table, (_N_ELEM, 22, 2)).copy()
+    for z, rows in RADIAL_OPT.items():
+        out[z] = np.array(rows)[:, :2]
+    return out
 
 
 def default_angular_params() -> np.ndarray:
-    """(118, 10, 4) generic (eta, mu, lambda, zeta) grid (wacsf_conv.py:23)."""
+    """(118, 10, 4) (eta, mu, lambda, zeta) table (wacsf_conv.py:23) with
+    optimized H/C/N/O/F rows."""
+    from .wacsf_params import ANGULAR_OPT
     etas = [0.0330612, 0.0330612, 0.0498615, 0.0498615, 0.0836777,
             0.0836777, 0.1685744, 0.1685744, 0.5, 0.5]
     lambdas = [-1.0, 1.0] * 5
     table = np.stack([np.array(etas), np.zeros(10), np.array(lambdas),
                       np.ones(10)], axis=-1)
-    return np.broadcast_to(table, (_N_ELEM, 10, 4)).copy()
+    out = np.broadcast_to(table, (_N_ELEM, 10, 4)).copy()
+    for z, rows in ANGULAR_OPT.items():
+        out[z] = np.array(rows)[:, :4]
+    return out
 
 
 def _fc(r: Array, cutoff: float) -> Array:

@@ -145,6 +145,8 @@ def run_force_training(build_model: Callable[[Dict], object], cfg: Dict) -> Dict
         val_batch = val.to_batch(global_keys=tuple(global_keys))
         hist = {"loss": [], "val_force_mae": [], "val_energy_mae": []}
         t0 = time.process_time()
+        print(f"fold {fold}: compiling + training {cfg['epochs']} epochs...",
+              flush=True)
         for epoch in range(cfg["epochs"]):
             losses = []
             for b in loader:
