@@ -10,10 +10,12 @@ import time
 
 import numpy as np
 
-# First recorded single-chip value (edges/sec) at THIS config (128-molecule
-# batch, reference-default SchNet, energy+force train step on TPU v5e),
-# measured 2026-08-17. vs_baseline tracks genuine speedups from here.
-BENCH_BASE = 16.56e6
+# First VALIDATED single-chip value (edges/sec) at THIS config (128-molecule
+# batch, reference-default SchNet, energy+force train step on TPU v5e,
+# 3.93 ms/step = 816 GB/s = HBM roofline; see PERF.md), measured 2026-08-17.
+# vs_baseline tracks genuine speedups from here. (An earlier 16.6M reading
+# was a timing artifact — it would imply 3.9 TB/s on an 819 GB/s part.)
+BENCH_BASE = 3.5e6
 
 
 def main():
@@ -71,13 +73,14 @@ def main():
 
     # warmup / compile
     params, opt_state, loss = step(params, opt_state, batch)
-    jax.block_until_ready(loss)
+    jax.block_until_ready((params, opt_state, loss))
 
     iters = 50
     t0 = time.perf_counter()
     for _ in range(iters):
         params, opt_state, loss = step(params, opt_state, batch)
-    jax.block_until_ready(loss)
+    # sync on the FULL output tree, not just the scalar loss
+    jax.block_until_ready((params, opt_state, loss))
     dt = time.perf_counter() - t0
 
     edges_per_sec = n_real_edges * iters / dt
