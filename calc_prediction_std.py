@@ -33,7 +33,7 @@ def main():
     members = load_ensemble(args.prefix, mod.build_model, cfg)
 
     batch = ds.to_batch(global_keys=("energy", "total_charge"))
-    preds = predict_ensemble(members, batch)
+    preds = predict_ensemble(members, batch, graphs=list(ds))
     nm = np.asarray(batch.node_mask)
     gid = np.asarray(batch.graph_id)
     report = {}

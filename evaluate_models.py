@@ -27,14 +27,27 @@ def load_ensemble(prefix: str, build_model, cfg):
     return members
 
 
-def predict_ensemble(members, batch):
-    """Stack per-member predictions: returns dict of (n_members, ...)."""
+def predict_ensemble(members, batch, graphs=None):
+    """Stack per-member predictions in RAW units: each member's outputs are
+    inverse-transformed with its own scaler (members are trained in scaled
+    space, fit on their own fold). Returns dict of (n_members, ...)."""
     outs = []
-    for fmodel, params, _ in members:
-        outs.append(fmodel.apply(params, batch, train=False))
+    for fmodel, params, scaler in members:
+        out = {k: np.asarray(v) for k, v in
+               fmodel.apply(params, batch, train=False).items()
+               if hasattr(v, "shape")}
+        if scaler is not None and scaler.scale_ is not None and graphs is not None:
+            z = [np.asarray(g["node_number"]) for g in graphs]
+            gm = np.asarray(batch.globals["graph_mask"])
+            e = out["energy"].reshape(batch.n_graphs, -1)[:, 0]
+            e_raw = e.copy()
+            e_raw[gm] = scaler.inverse_transform(e[gm], z)
+            out["energy"] = e_raw[:, None]
+            if "force" in out:
+                out["force"] = out["force"] * scaler.scale_[0]
+        outs.append(out)
     keys = outs[0].keys()
-    return {k: np.stack([np.asarray(o[k]) for o in outs]) for k in keys
-            if hasattr(outs[0][k], "shape")}
+    return {k: np.stack([o[k] for o in outs]) for k in keys}
 
 
 def main():
@@ -61,7 +74,7 @@ def main():
         raise SystemExit(f"no checkpoints matching {args.prefix}_*")
 
     batch = ds.to_batch(global_keys=("energy", "total_charge"))
-    preds = predict_ensemble(members, batch)
+    preds = predict_ensemble(members, batch, graphs=list(ds))
     gm = np.asarray(batch.globals["graph_mask"])
     nm = np.asarray(batch.node_mask)
     report = {"n_members": len(members)}
