@@ -86,6 +86,20 @@ def bessel_basis(distance: Array, num_radial: int = 20, cutoff: float = 5.0,
     return rbf
 
 
+def bessel_basis_kgcnn(distance: Array, num_radial: int = 20,
+                       cutoff: float = 5.0, envelope_exponent: int = 5) -> Array:
+    """EXACT reference composition (BesselBasisLayer, geom.py:772-785):
+    ``env(u) * sin(n pi u)`` with ``u = d/c`` and
+    ``env(u) = 1/u + a u^p + b u^(p+1) + c u^(p+2)`` for p = exponent+1 —
+    i.e. the 1/d factor rides inside the envelope and there is NO sqrt(2/c)
+    normalization. Verified against the reference's stored golden arrays
+    (test/assets/bessel_basis_reference.npz)."""
+    u = distance / cutoff
+    n = jnp.arange(1, num_radial + 1, dtype=distance.dtype) * math.pi
+    env = polynomial_envelope(u, envelope_exponent + 1) / jnp.maximum(u, 1e-8)
+    return env * jnp.sin(n[None, :] * u)
+
+
 def polynomial_envelope(u: Array, p: int = 5) -> Array:
     """DimeNet C^p smooth polynomial envelope on u in [0,1]:
     1 - (p+1)(p+2)/2 u^p + p(p+2) u^{p+1} - p(p+1)/2 u^{p+2}; zero beyond."""

@@ -187,10 +187,10 @@ class DimeNetPP(nn.Module):
         vec = pos[batch.receivers] - pos[batch.senders]
         d = jnp.sqrt(jnp.maximum(jnp.sum(vec * vec, axis=-1), 1e-12))  # (E,)
         rho = d / cfg["cutoff"]
-        n = jnp.arange(1, cfg["num_radial"] + 1, dtype=pos.dtype)
-        rbf = (math.sqrt(2.0 / cfg["cutoff"]) * jnp.sin(n[None, :] * math.pi * rho[:, None])
-               / jnp.maximum(d[:, None], 1e-8))
-        rbf = rbf * polynomial_envelope(rho, cfg["envelope_exponent"])[:, None]
+        from ..layers.geometry import bessel_basis_kgcnn
+        rbf = bessel_basis_kgcnn(d[:, None], num_radial=cfg["num_radial"],
+                                 cutoff=cfg["cutoff"],
+                                 envelope_exponent=cfg["envelope_exponent"])
         rbf = rbf * batch.edge_mask[:, None].astype(rbf.dtype)
 
         # angle geometry per edge pair: cos angle at node j between (j->i), (j->k)

@@ -11,7 +11,7 @@ import flax.linen as nn
 from ..batch import GraphBatch
 from ..layers.conv.painn import PAiNNconv, PAiNNUpdate, equivariant_initialize
 from ..layers.geometry import (
-    edge_vectors, bessel_basis, cosine_cutoff_envelope,
+    edge_vectors, bessel_basis_kgcnn, cosine_cutoff_envelope,
 )
 from ..layers.mlp import MLP
 from ..layers.norm import GraphLayerNorm
@@ -51,8 +51,10 @@ class PAiNN(nn.Module):
         d = jnp.sqrt(jnp.maximum(d2, 1e-12))
         dir_ij = vec / d
         bb = cfg["bessel_basis"]
-        rbf = bessel_basis(d, num_radial=bb["num_radial"], cutoff=bb["cutoff"],
-                           envelope=False)
+        # reference parity: BesselBasisLayer with poly envelope (PAiNN.py:105)
+        rbf = bessel_basis_kgcnn(d, num_radial=bb["num_radial"],
+                                 cutoff=bb["cutoff"],
+                                 envelope_exponent=bb.get("envelope_exponent", 5))
         rbf = rbf * batch.edge_mask[:, None].astype(rbf.dtype)
         cutoff = cfg["conv_args"].get("cutoff")
         env = cosine_cutoff_envelope(d, cutoff) if cutoff is not None else None
