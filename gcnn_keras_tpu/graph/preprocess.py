@@ -118,25 +118,34 @@ def set_angle(graph: Dict[str, np.ndarray], range_indices: str = "range_indices"
     """
     ei = np.asarray(graph[range_indices])
     recv, send = ei[:, 0], ei[:, 1]
-    triples = []
-    # group senders by receiver
-    order = np.argsort(recv, kind="stable")
-    recv_s, send_s = recv[order], send[order]
-    bounds = np.searchsorted(recv_s, np.arange(recv.max() + 2 if len(recv) else 1))
-    for i in range(len(bounds) - 1):
-        nbrs = send_s[bounds[i]:bounds[i + 1]]
-        m = len(nbrs)
-        if m < 2:
-            continue
-        jj, kk = np.meshgrid(nbrs, nbrs, indexing="ij")
-        valid = ~np.eye(m, dtype=bool)
+    if len(recv) == 0:
+        angles = np.zeros((0, 3), dtype=np.int64)
+    else:
+        # fully vectorized ordered-pair enumeration per receiver group:
+        # within a group of m neighbors, pair p -> (a, b) with
+        # a = p // (m-1), b' = p % (m-1), b = b' + (b' >= a)
+        # (identical ordering to the meshgrid-minus-diagonal formulation)
+        order = np.argsort(recv, kind="stable")
+        recv_s, send_s = recv[order], send[order]
+        uniq, starts, counts = np.unique(recv_s, return_index=True,
+                                         return_counts=True)
+        m = counts
+        pairs_per = m * (m - 1)
+        total = int(pairs_per.sum())
+        grp = np.repeat(np.arange(len(uniq)), pairs_per)
+        p = np.arange(total) - np.repeat(np.cumsum(pairs_per) - pairs_per,
+                                         pairs_per)
+        m_g = m[grp]
+        a = p // (m_g - 1)
+        b = p % (m_g - 1)
+        b = b + (b >= a)
+        base = starts[grp]
+        centers = uniq[grp]
+        js = send_s[base + a]
+        ks = send_s[base + b]
+        angles = np.stack([centers, js, ks], axis=1).astype(np.int64)
         if not allow_multi_edges:
-            valid &= jj != kk  # guard duplicate neighbor entries
-        js, ks = jj[valid], kk[valid]
-        tri = np.stack([np.full(len(js), i), js, ks], axis=1)
-        triples.append(tri)
-    angles = (np.concatenate(triples, axis=0) if triples
-              else np.zeros((0, 3), dtype=np.int64))
+            angles = angles[angles[:, 1] != angles[:, 2]]
     if max_angles is not None and len(angles) > max_angles:
         angles = angles[:max_angles]
     out = dict(graph)
