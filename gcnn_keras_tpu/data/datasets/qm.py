@@ -76,6 +76,16 @@ class QM9Dataset(QMDataset):
         return self
 
 
+QM7B_LABEL_NAMES = ["ae_pbe0", "p_pbe0", "p_scs", "homo_gw", "homo_pbe0",
+                    "homo_zindo", "lumo_gw", "lumo_pbe0", "lumo_zindo",
+                    "ip_zindo", "ea_zindo", "e1_zindo", "emax_zindo",
+                    "imax_zindo"]
+
+QM8_LABEL_NAMES = ["E1-CC2", "E2-CC2", "f1-CC2", "f2-CC2", "E1-PBE0",
+                   "E2-PBE0", "f1-PBE0", "f2-PBE0", "E1-CAM", "E2-CAM",
+                   "f1-CAM", "f2-CAM"]
+
+
 class QM7Dataset(QMDataset):
     """QM7: 7165 molecules, atomization energies (kcal/mol)."""
 
@@ -103,5 +113,75 @@ class QM7Dataset(QMDataset):
                 "node_number": z[nz].astype(np.int64),
                 "node_coordinates": (coords[i][nz] * 0.529177).astype(np.float32),
                 "graph_labels": np.array([labels[i]], dtype=np.float32),
+            })
+        return self
+
+
+class QM7bDataset(QMDataset):
+    """QM7b: 7211 molecules, 14 properties at several levels of theory
+    (parity: ``kgcnn/data/datasets/QM7bDataset.py``)."""
+
+    _url = "http://quantum-machine.org/data/qm7b.mat"
+
+    def __init__(self, reload: bool = False, **kwargs):
+        dl = DownloadDataset("QM7b", download_url=self._url,
+                             download_file_name="qm7b.mat", reload=reload)
+        super().__init__(data_directory=dl.data_directory, dataset_name="QM7b",
+                         **kwargs)
+
+    def read_in_memory(self, label_column_name=None, **kwargs):
+        path = os.path.join(self.data_directory, "qm7b.mat")
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"qm7b.mat missing under {self.data_directory}")
+        from scipy.io import loadmat
+        mat = loadmat(path)
+        coords = mat["R"]   # (N, 23, 3) bohr
+        charges = mat["Z"]  # (N, 23)
+        labels = mat["T"]   # (N, 14)
+        if label_column_name is not None and isinstance(label_column_name, str):
+            col = QM7B_LABEL_NAMES.index(label_column_name)
+            labels = labels[:, col:col + 1]
+        for i in range(labels.shape[0]):
+            z = charges[i]
+            nz = z > 0
+            self.append({
+                "node_number": z[nz].astype(np.int64),
+                "node_coordinates": (coords[i][nz] * 0.529177).astype(np.float32),
+                "graph_labels": labels[i].astype(np.float32),
+            })
+        return self
+
+
+class QM8Dataset(QMDataset):
+    """QM8: 21786 molecules, 12 electronic-spectra targets
+    (parity: ``kgcnn/data/datasets/QM8Dataset.py``, deepchem gdb8 release)."""
+
+    _url = ("https://deepchemdata.s3-us-west-1.amazonaws.com/datasets/"
+            "gdb8.tar.gz")
+
+    def __init__(self, reload: bool = False, **kwargs):
+        dl = DownloadDataset("QM8", download_url=self._url,
+                             download_file_name="gdb8.tar.gz", unpack_tar=True,
+                             reload=reload)
+        super().__init__(data_directory=dl.data_directory, dataset_name="QM8",
+                         **kwargs)
+
+    def read_in_memory(self, label_column_name=None, **kwargs):
+        sdf = os.path.join(self.data_directory, "qm8.sdf")
+        csv = os.path.join(self.data_directory, "qm8.sdf.csv")
+        if not os.path.exists(csv):
+            raise FileNotFoundError(
+                f"QM8 files missing under {self.data_directory} — offline?")
+        import pandas as pd
+        labels = pd.read_csv(csv)
+        cols = [label_column_name] if label_column_name else QM8_LABEL_NAMES
+        values = labels[cols].to_numpy()
+        from ...mol.io import read_sdf_coordinates
+        mols = read_sdf_coordinates(sdf)
+        for i, (z, xyz) in enumerate(mols):
+            self.append({
+                "node_number": np.array(z, dtype=np.int64),
+                "node_coordinates": np.array(xyz, dtype=np.float32),
+                "graph_labels": values[i].astype(np.float32),
             })
         return self

@@ -9,6 +9,8 @@ from typing import Any, Dict
 _DATASET_MODULES = {
     # name -> module path under data.datasets
     "QM7Dataset": "gcnn_keras_tpu.data.datasets.qm",
+    "QM7bDataset": "gcnn_keras_tpu.data.datasets.qm",
+    "QM8Dataset": "gcnn_keras_tpu.data.datasets.qm",
     "QM9Dataset": "gcnn_keras_tpu.data.datasets.qm",
     "MD17Dataset": "gcnn_keras_tpu.data.datasets.md17",
     "MD17RevisedDataset": "gcnn_keras_tpu.data.datasets.md17",
@@ -26,6 +28,17 @@ _DATASET_MODULES = {
     "PROTEINSDataset": "gcnn_keras_tpu.data.datasets.tudataset",
     "GraphTUDataset2020": "gcnn_keras_tpu.data.datasets.tudataset",
     "MatProjectEFormDataset": "gcnn_keras_tpu.data.datasets.matproject",
+    "MatProjectGapDataset": "gcnn_keras_tpu.data.datasets.matproject",
+    "MatProjectIsMetalDataset": "gcnn_keras_tpu.data.datasets.matproject",
+    "MatProjectDielectricDataset": "gcnn_keras_tpu.data.datasets.matproject",
+    "MatProjectJdft2dDataset": "gcnn_keras_tpu.data.datasets.matproject",
+    "MatProjectLogGVRHDataset": "gcnn_keras_tpu.data.datasets.matproject",
+    "MatProjectLogKVRHDataset": "gcnn_keras_tpu.data.datasets.matproject",
+    "MatProjectPerovskitesDataset": "gcnn_keras_tpu.data.datasets.matproject",
+    "MatProjectPhononsDataset": "gcnn_keras_tpu.data.datasets.matproject",
+    "VgdMockDataset": "gcnn_keras_tpu.data.datasets.vgd",
+    "VgdRbMotifsDataset": "gcnn_keras_tpu.data.datasets.vgd",
+    "VisualGraphDataset": "gcnn_keras_tpu.data.visual_graph",
     "SyntheticQM9Dataset": "gcnn_keras_tpu.data.datasets.synthetic",
     "SyntheticMDDataset": "gcnn_keras_tpu.data.datasets.synthetic",
     "SyntheticCitationDataset": "gcnn_keras_tpu.data.datasets.synthetic",

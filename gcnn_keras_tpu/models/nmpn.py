@@ -88,3 +88,13 @@ class NMPN(nn.Module):
 def make_model(**kwargs) -> NMPN:
     cfg = update_model_kwargs(model_default, kwargs)
     return NMPN(config=cfg)
+
+
+def make_crystal_model(**kwargs) -> NMPN:
+    """Periodic variant (parity: the reference's NMPN crystal configs in
+    ``training/hyper/hyper_mp_*.py``): same module with distances computed
+    from coordinates; periodicity comes from the batch carrying
+    ``range_image`` + ``graph_lattice`` (see ``layers/geometry.py``)."""
+    kwargs.setdefault("make_distance", True)
+    kwargs.setdefault("expand_distance", True)
+    return make_model(**kwargs)
