@@ -64,12 +64,14 @@ def gauss_basis(distance: Array, bins: int = 20, distance_max: float = 4.0,
                 offset: float = 0.0, sigma: float = 0.4) -> Array:
     """Gaussian radial basis expansion (GaussBasisLayer, geom.py:514).
 
-    ``distance``: (E, 1) -> (E, bins); gamma = -0.5/sigma^2 like the
-    reference default.
+    ``distance``: (E, 1) -> (E, bins). Exact reference semantics
+    (geom.py:554-571): centers ``arange(bins)/bins * distance_max`` (endpoint
+    excluded), input shifted by ``offset``, gamma = 1/(2 sigma^2).
     """
     gamma = -0.5 / (sigma * sigma)
-    centers = jnp.linspace(offset, distance_max, bins, dtype=distance.dtype)
-    diff = distance - centers[None, :]
+    centers = (jnp.arange(bins, dtype=distance.dtype) / float(bins)
+               * distance_max)
+    diff = (distance - offset) - centers[None, :]
     return jnp.exp(gamma * diff * diff)
 
 

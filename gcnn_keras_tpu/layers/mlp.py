@@ -48,23 +48,44 @@ class Dense(nn.Module):
 
 class MLP(nn.Module):
     """Multi-layer perceptron with per-layer unit/activation lists
-    (``kgcnn/layers/mlp.py:246``). ``units`` may be an int or list."""
+    (``kgcnn/layers/mlp.py:246``). ``units`` may be an int or list.
+
+    With ``use_normalization``, each layer applies dense -> normalization ->
+    activation in the reference's order (``kgcnn/layers/mlp.py`` call);
+    ``graph_batch`` normalization needs the valid-row ``mask`` argument.
+    """
 
     units: Union[int, Sequence[int]]
     activation: Any = "linear"
     use_bias: Any = True
     last_linear: bool = False
+    use_normalization: Any = False
+    normalization_technique: str = "graph_batch"
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, mask: Optional[Array] = None,
+                 train: bool = False) -> Array:
         units = self.units if isinstance(self.units, (list, tuple)) else [self.units]
         depth = len(units)
         acts = _as_list(self.activation, depth)
         biases = _as_list(self.use_bias, depth)
-        for i, (u, a, b) in enumerate(zip(units, acts, biases)):
+        norms = _as_list(self.use_normalization, depth)
+        for i, (u, a, b, nrm) in enumerate(zip(units, acts, biases, norms)):
             if self.last_linear and i == depth - 1:
                 a = "linear"
-            x = Dense(u, activation=a, use_bias=b, name=f"dense_{i}")(x)
+            if not nrm:
+                x = Dense(u, activation=a, use_bias=b, name=f"dense_{i}")(x)
+                continue
+            x = Dense(u, activation="linear", use_bias=b, name=f"dense_{i}")(x)
+            if self.normalization_technique in ("graph_batch", "batch"):
+                from .norm import GraphBatchNorm
+                x = GraphBatchNorm(name=f"norm_{i}")(
+                    x, mask, use_running_average=not train)
+            else:
+                from .norm import GraphLayerNorm
+                x = GraphLayerNorm(name=f"norm_{i}")(x)
+            from ..ops.activ import get_activation
+            x = get_activation(a)(x)
         return x
 
 

@@ -20,7 +20,7 @@ class GraphLayerNorm(nn.Module):
     """LayerNorm over the feature axis of flat node/edge values — padding
     rows are irrelevant since stats are per-row."""
 
-    epsilon: float = 1e-5
+    epsilon: float = 1e-3  # keras LayerNormalization default (norm.py:20)
     use_scale: bool = True
     use_bias: bool = True
 

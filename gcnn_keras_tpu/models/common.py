@@ -38,13 +38,15 @@ class GraphOutputHead(nn.Module):
     output_embedding: str = "graph"
     pooling_method: str = "sum"
     pool_first: bool = False
+    use_bias: Any = True
 
     @nn.compact
     def __call__(self, batch: GraphBatch, nodes: Array) -> Array:
         units = list(self.units) if isinstance(self.units, (list, tuple)) else [self.units]
         acts = list(self.activation) if isinstance(self.activation, (list, tuple)) \
             else [self.activation] * len(units)
-        mlp = MLP(units, activation=acts, name="output_mlp")
+        mlp = MLP(units, activation=acts, use_bias=self.use_bias,
+                  name="output_mlp")
         if self.output_embedding == "graph":
             if self.pool_first:
                 pooled = pool_nodes_to_graph(batch, nodes, mode=self.pooling_method)

@@ -46,14 +46,23 @@ class GATModel(nn.Module):
             ed = OptionalInputEmbedding(**cfg["input_embedding"].get(
                 "edge", {"input_dim": 5, "output_dim": 64}))(ed)
 
+        # map to units before the attention stack (reference GAT.py:100 /
+        # GATv2.py: "nk = Dense(units, linear)(n)")
+        from ..layers.mlp import Dense
+        from ..ops.activ import get_activation
+        h = Dense(cfg["attention_args"]["units"], activation="linear",
+                  name="embed_to_units")(h)
         for i in range(cfg["depth"]):
             heads = [Head(**cfg["attention_args"], name=f"head_{i}_{k}")(batch, h, ed)
                      for k in range(cfg["attention_heads_num"])]
             if cfg["attention_heads_concat"]:
                 h = jnp.concatenate(heads, axis=-1)
             else:
+                # averaged heads pass through the attention activation
+                # (reference GAT.py:106-107)
                 h = sum(heads) / len(heads)
-            h = jax.nn.elu(h)
+                h = get_activation(cfg["attention_args"].get(
+                    "activation", "leaky_relu"))(h)
 
         if cfg["output_embedding"] == "graph":
             h = h * batch.node_mask[:, None].astype(h.dtype)

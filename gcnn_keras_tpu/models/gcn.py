@@ -22,6 +22,9 @@ model_default = dict(
     input_embedding={"node": {"input_dim": 95, "output_dim": 64}},
     gcn_args={"units": 100, "activation": "relu", "pooling_method": "sum"},
     depth=3,
+    # the reference's graph readout is PoolingNodes() whose default is MEAN
+    # (kgcnn/layers/pooling.py:194), not sum
+    node_pooling_args={"pooling_method": "mean"},
     output_embedding="graph",
     output_mlp={"units": [140, 70, 1], "activation": ["relu", "relu", "linear"]},
     node_key="node_attributes",
@@ -42,12 +45,23 @@ class GCN(nn.Module):
         ew = batch.edges[cfg["edge_weight_key"]]
         if ew.ndim == 1:
             ew = ew[:, None]
+        # map to units before the conv stack (reference GCN.py:96
+        # "Map to units" Dense, linear with bias)
+        from ..layers.mlp import Dense
+        h = Dense(cfg["gcn_args"]["units"], activation="linear",
+                  name="embed_to_units")(h)
         for i in range(cfg["depth"]):
             h = GCNConv(**cfg["gcn_args"], name=f"gcn_{i}")(batch, h, ew)
         out_cfg = cfg["output_mlp"]
         out = GraphOutputHead(
             units=out_cfg["units"], activation=out_cfg["activation"],
-            output_embedding=cfg["output_embedding"], name="output")(batch, h)
+            use_bias=out_cfg.get("use_bias", True),
+            pooling_method=cfg.get("node_pooling_args",
+                                   {}).get("pooling_method", "mean"),
+            output_embedding=cfg["output_embedding"],
+            # reference pools nodes FIRST, then applies the output MLP
+            # (literature/GCN.py:101-103)
+            pool_first=True, name="output")(batch, h)
         return {"output": out}
 
 

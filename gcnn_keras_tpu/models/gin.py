@@ -14,7 +14,7 @@ import flax.linen as nn
 
 from ..batch import GraphBatch
 from ..layers.conv.basic import GIN as GINConv, GINE as GINEConv
-from ..layers.mlp import MLP
+from ..layers.mlp import MLP, Dense
 from ..layers.norm import GraphBatchNorm
 from ..layers.aggr import pool_nodes_to_graph
 from .common import OptionalInputEmbedding
@@ -27,10 +27,14 @@ model_default = dict(
     depth=3,
     dropout=0.0,
     gin_args={"pooling_method": "sum", "epsilon_learnable": False},
-    gin_mlp={"units": [64, 64], "activation": ["relu", "linear"]},
-    last_mlp={"units": [64, 32], "activation": ["relu", "relu"]},
+    # reference gin_mlp applies dense -> graph-batch-norm -> activation per
+    # layer (literature/GIN.py model_default)
+    gin_mlp={"units": [64, 64], "activation": ["relu", "linear"],
+             "use_normalization": True, "normalization_technique": "graph_batch"},
+    last_mlp={"units": [64, 64, 64], "activation": ["relu", "relu", "linear"]},
     output_embedding="graph",
     output_mlp={"units": [1], "activation": ["linear"]},
+    node_pooling_args={"pooling_method": "mean"},
 )
 
 
@@ -43,9 +47,24 @@ class GINModel(nn.Module):
         cfg = self.config
         x = batch.nodes.get("node_attributes", batch.nodes.get("node_number"))
         h = OptionalInputEmbedding(**cfg["input_embedding"]["node"])(x)
-        h = MLP(cfg["gin_mlp"]["units"], activation=cfg["gin_mlp"]["activation"],
-                name="embed_mlp")(h)
+        gin_units = cfg["gin_mlp"]["units"]
+        n_units = gin_units[-1] if isinstance(gin_units, (list, tuple)) \
+            else int(gin_units)
+        # map to units with one LINEAR dense (literature/GIN.py:95)
+        h = Dense(n_units, activation="linear", name="embed_to_units")(h)
         ed = batch.edges.get("edge_attributes") if self.use_edges else None
+        if self.use_edges and ed is not None:
+            ed = Dense(n_units, activation="linear",
+                       name="edge_to_units")(ed)
+
+        def gin_mlp(i):
+            return MLP(cfg["gin_mlp"]["units"],
+                       activation=cfg["gin_mlp"]["activation"],
+                       use_normalization=cfg["gin_mlp"].get(
+                           "use_normalization", False),
+                       normalization_technique=cfg["gin_mlp"].get(
+                           "normalization_technique", "graph_batch"),
+                       name=f"gin_mlp_{i}")
 
         embeddings = [h]
         for i in range(cfg["depth"]):
@@ -53,26 +72,33 @@ class GINModel(nn.Module):
                 h = GINEConv(**cfg["gin_args"], name=f"gine_{i}")(batch, h, ed)
             else:
                 h = GINConv(**cfg["gin_args"], name=f"gin_{i}")(batch, h)
-            h = MLP(cfg["gin_mlp"]["units"], activation=cfg["gin_mlp"]["activation"],
-                    name=f"gin_mlp_{i}")(h)
-            h = GraphBatchNorm(name=f"bn_{i}")(h, batch.node_mask,
-                                               use_running_average=not train)
+            h = gin_mlp(i)(h, mask=batch.node_mask, train=train)
             embeddings.append(h)
 
         if cfg["output_embedding"] == "graph":
+            # per-depth readout: mean-pool -> last_mlp -> dropout -> sum
+            # (literature/GIN.py:104-108; PoolingNodes default is mean)
+            pool_mode = cfg.get("node_pooling_args",
+                                {}).get("pooling_method", "mean")
             outs = []
             for i, e in enumerate(embeddings):
                 e = e * batch.node_mask[:, None].astype(e.dtype)
-                p = pool_nodes_to_graph(batch, e, mode="sum")
-                p = MLP(cfg["last_mlp"]["units"], activation=cfg["last_mlp"]["activation"],
+                p = pool_nodes_to_graph(batch, e, mode=pool_mode)
+                p = MLP(cfg["last_mlp"]["units"],
+                        activation=cfg["last_mlp"]["activation"],
                         name=f"out_mlp_{i}")(p)
+                if cfg.get("dropout"):
+                    p = nn.Dropout(cfg["dropout"], deterministic=not train)(p)
                 outs.append(p)
             out = sum(outs)
             out = MLP(cfg["output_mlp"]["units"],
                       activation=cfg["output_mlp"]["activation"], name="final")(out)
         else:
+            out = MLP(cfg["last_mlp"]["units"],
+                      activation=cfg["last_mlp"]["activation"],
+                      name="last_mlp_node")(h)
             out = MLP(cfg["output_mlp"]["units"],
-                      activation=cfg["output_mlp"]["activation"], name="final")(h)
+                      activation=cfg["output_mlp"]["activation"], name="final")(out)
         return {"output": out}
 
 

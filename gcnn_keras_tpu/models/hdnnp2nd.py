@@ -86,7 +86,9 @@ class HDNNP2nd(nn.Module):
         else:
             raise ValueError(f"unknown HDNNP2nd mode {self.mode}")
 
-        if cfg.get("normalize_kwargs") is not None and self.mode != "atom_wise":
+        # truthiness gate like the reference (HDNNP2nd.py:106): an EMPTY
+        # normalize_kwargs dict means NO normalization layer
+        if cfg.get("normalize_kwargs") and self.mode != "atom_wise":
             rep = GraphBatchNorm(**cfg["normalize_kwargs"], name="norm")(
                 rep, batch.node_mask, use_running_average=not train)
         if cfg.get("const_normalize_kwargs"):

@@ -12,7 +12,7 @@ _MODULES = {
     "GCN": "gcnn_keras_tpu.models.gcn",
     "GIN": "gcnn_keras_tpu.models.gin",
     "GAT": "gcnn_keras_tpu.models.gat",
-    "GATv2": "gcnn_keras_tpu.models.gat",
+    "GATv2": "gcnn_keras_tpu.models.gatv2",
     "GraphSAGE": "gcnn_keras_tpu.models.sage",
     "Schnet": "gcnn_keras_tpu.models.schnet",
     "PAiNN": "gcnn_keras_tpu.models.painn",

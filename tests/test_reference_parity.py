@@ -1,0 +1,324 @@
+"""Full-model golden parity against the reference implementation.
+
+Fixtures in ``tests/assets/ref_golden_*.npz`` were recorded by
+``tools/record_reference_goldens.py`` running the actual reference kgcnn
+(TF CPU) on fixed molecules: inputs, every layer weight (in
+``model.weights`` order), and the model output. Here we copy those weights
+into this framework's models and require the outputs to match — the
+end-to-end cross-implementation check SURVEY.md §6 calls for.
+"""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gcnn_keras_tpu.batch import batch_graphs
+
+ASSETS = os.path.join(os.path.dirname(__file__), "assets")
+
+
+def _load(name):
+    path = os.path.join(ASSETS, f"ref_golden_{name}.npz")
+    if not os.path.exists(path):
+        pytest.skip(f"{path} not recorded")
+    d = np.load(path)
+    n = int(d["n_graphs"])
+    graphs = []
+    for i in range(n):
+        g = {k[len(f"g{i}_"):]: d[k] for k in d.files
+             if k.startswith(f"g{i}_")}
+        graphs.append(g)
+    weights = [d[k] for k in sorted(d.files)
+               if k.startswith("w") and not k.startswith("wname")]
+    out = d["out0"]
+    return graphs, weights, out
+
+
+def _set(params, path, value):
+    """Assign into a nested param dict by '/'-separated path."""
+    node = params["params"]
+    keys = path.split("/")
+    for k in keys[:-1]:
+        node = node[k]
+    assert node[keys[-1]].shape == value.shape, \
+        f"{path}: {node[keys[-1]].shape} vs {value.shape}"
+    node[keys[-1]] = jnp.asarray(value)
+
+
+def _apply_mapping(params, weights, mapping):
+    params = jax.tree.map(lambda x: x, params)  # deep copy
+    assert len(mapping) == len(weights), (len(mapping), len(weights))
+    for path, w in zip(mapping, weights):
+        if path is None:
+            continue
+        _set(params, path, w)
+    return params
+
+
+def test_schnet_matches_reference():
+    graphs, weights, ref_out = _load("schnet")
+    for g in graphs:
+        g["node_number"] = g.pop("z").astype(np.int64)
+        g["node_coordinates"] = g["xyz"]
+    batch = batch_graphs(graphs)
+
+    from gcnn_keras_tpu.models.schnet import make_model
+    model = make_model(depth=2)
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    mapping = ["OptionalInputEmbedding_0/Embed_0/embedding",
+               "embed_to_units/Dense_0/kernel", "embed_to_units/Dense_0/bias"]
+    for i in range(2):
+        p = f"interaction_{i}"
+        mapping += [f"{p}/cfconv/filter_1/Dense_0/kernel",
+                    f"{p}/cfconv/filter_1/Dense_0/bias",
+                    f"{p}/cfconv/filter_2/Dense_0/kernel",
+                    f"{p}/cfconv/filter_2/Dense_0/bias",
+                    f"{p}/pre/Dense_0/kernel",
+                    f"{p}/post_1/Dense_0/kernel", f"{p}/post_1/Dense_0/bias",
+                    f"{p}/post_2/Dense_0/kernel", f"{p}/post_2/Dense_0/bias"]
+    for blk, k in (("last_mlp", 2), ("output_mlp", 2)):
+        for i in range(k):
+            mapping += [f"{blk}/dense_{i}/Dense_0/kernel",
+                        f"{blk}/dense_{i}/Dense_0/bias"]
+    params = _apply_mapping(params, weights, mapping)
+    out = model.apply(params, batch)["output"]
+    out = np.asarray(out)[:len(graphs)]  # drop the padding graph slot
+    np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=2e-5)
+
+
+def test_painn_matches_reference():
+    graphs, weights, ref_out = _load("painn")
+    for g in graphs:
+        g["node_number"] = g.pop("z").astype(np.int64)
+        g["node_coordinates"] = g["xyz"]
+    batch = batch_graphs(graphs)
+
+    from gcnn_keras_tpu.models.painn import make_model
+    model = make_model(depth=2)
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    # w001 is the reference's trainable Bessel frequency vector at init
+    # (n*pi); our basis uses the same closed form, so assert instead of map.
+    freq = weights[1]
+    np.testing.assert_allclose(freq, np.arange(1, 21) * np.pi, rtol=1e-6)
+
+    mapping = ["OptionalInputEmbedding_0/Embed_0/embedding", None]
+    for i in range(2):
+        mapping += [f"conv_{i}/dense_1/Dense_0/kernel",
+                    f"conv_{i}/dense_1/Dense_0/bias",
+                    f"conv_{i}/phi/Dense_0/kernel",
+                    f"conv_{i}/phi/Dense_0/bias",
+                    f"conv_{i}/w/Dense_0/kernel",
+                    f"conv_{i}/w/Dense_0/bias",
+                    f"update_{i}/dense_1/Dense_0/kernel",
+                    f"update_{i}/dense_1/Dense_0/bias",
+                    f"update_{i}/lin_u/Dense_0/kernel",
+                    f"update_{i}/lin_v/Dense_0/kernel",
+                    f"update_{i}/a/Dense_0/kernel",
+                    f"update_{i}/a/Dense_0/bias"]
+    mapping += ["output_mlp/dense_0/Dense_0/kernel",
+                "output_mlp/dense_0/Dense_0/bias",
+                "output_mlp/dense_1/Dense_0/kernel",
+                "output_mlp/dense_1/Dense_0/bias"]
+    params = _apply_mapping(params, weights, mapping)
+    out = model.apply(params, batch)["output"]
+    out = np.asarray(out)[:len(graphs)]  # drop the padding graph slot
+    np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=2e-5)
+
+
+def test_gcn_matches_reference():
+    graphs, weights, ref_out = _load("gcn")
+    for g in graphs:
+        g.pop("z"); g.pop("xyz")
+    batch = batch_graphs(graphs)
+
+    from gcnn_keras_tpu.models.gcn import make_model
+    model = make_model(
+        depth=3,
+        gcn_args={"units": 100, "activation": "relu", "pooling_method": "sum"},
+        output_mlp={"units": [25, 10, 1],
+                    "activation": ["relu", "relu", "sigmoid"],
+                    "use_bias": [True, True, False]})
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    mapping = ["embed_to_units/Dense_0/kernel", "embed_to_units/Dense_0/bias"]
+    for i in range(3):
+        mapping += [f"gcn_{i}/Dense_0/Dense_0/kernel",
+                    f"gcn_{i}/Dense_0/Dense_0/bias"]
+    mapping += ["output/output_mlp/dense_0/Dense_0/kernel",
+                "output/output_mlp/dense_0/Dense_0/bias",
+                "output/output_mlp/dense_1/Dense_0/kernel",
+                "output/output_mlp/dense_1/Dense_0/bias",
+                "output/output_mlp/dense_2/Dense_0/kernel"]
+    params = _apply_mapping(params, weights, mapping)
+    out = model.apply(params, batch)["output"]
+    out = np.asarray(out)[:len(graphs)]  # drop the padding graph slot
+    np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=2e-5)
+
+
+def test_gin_matches_reference():
+    graphs, weights, ref_out = _load("gin")
+    for g in graphs:
+        g.pop("z"); g.pop("xyz"); g.pop("edge_attributes", None)
+    batch = batch_graphs(graphs)
+
+    from gcnn_keras_tpu.models.gin import make_model
+    model = make_model(depth=2,
+                       output_mlp={"units": [1], "activation": ["linear"]})
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    mapping = ["embed_to_units/Dense_0/kernel", "embed_to_units/Dense_0/bias"]
+    for i in range(2):
+        np.testing.assert_allclose(weights[2 + 13 * i], 0.0)  # epsilon_k
+        mapping += [None,  # epsilon_k (non-learnable, zero)
+                    f"gin_mlp_{i}/dense_0/Dense_0/kernel",
+                    f"gin_mlp_{i}/dense_0/Dense_0/bias",
+                    f"gin_mlp_{i}/dense_1/Dense_0/kernel",
+                    f"gin_mlp_{i}/dense_1/Dense_0/bias",
+                    f"gin_mlp_{i}/norm_0/scale", f"gin_mlp_{i}/norm_0/bias",
+                    f"gin_mlp_{i}/norm_1/scale", f"gin_mlp_{i}/norm_1/bias",
+                    None, None, None, None]  # moving stats (0/1 at init both)
+    for i in range(3):
+        for j in range(3):
+            mapping += [f"out_mlp_{i}/dense_{j}/Dense_0/kernel",
+                        f"out_mlp_{i}/dense_{j}/Dense_0/bias"]
+    mapping += ["final/dense_0/Dense_0/kernel", "final/dense_0/Dense_0/bias"]
+    params = _apply_mapping(params, weights, mapping)
+    out = model.apply(params, batch)["output"]
+    out = np.asarray(out)[:len(graphs)]
+    np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=2e-5)
+
+
+def test_gatv2_matches_reference():
+    graphs, weights, ref_out = _load("gatv2")
+    for g in graphs:
+        g.pop("z"); g.pop("xyz")
+    batch = batch_graphs(graphs)
+
+    from gcnn_keras_tpu.models.gatv2 import make_model
+    model = make_model(
+        depth=1, attention_heads_num=2, attention_heads_concat=False,
+        attention_args={"units": 32, "use_edge_features": True,
+                        "use_bias": True, "activation": "relu",
+                        "use_final_activation": False},
+        output_mlp={"units": [32, 1], "activation": ["relu", "linear"]})
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    mapping = ["embed_to_units/Dense_0/kernel", "embed_to_units/Dense_0/bias"]
+    for k in range(2):
+        mapping += [f"head_0_{k}/linear_trafo/Dense_0/kernel",
+                    f"head_0_{k}/linear_trafo/Dense_0/bias",
+                    f"head_0_{k}/alpha_activation/Dense_0/kernel",
+                    f"head_0_{k}/alpha_activation/Dense_0/bias",
+                    f"head_0_{k}/alpha/Dense_0/kernel"]
+    mapping += ["out_mlp/dense_0/Dense_0/kernel", "out_mlp/dense_0/Dense_0/bias",
+                "out_mlp/dense_1/Dense_0/kernel", "out_mlp/dense_1/Dense_0/bias"]
+    params = _apply_mapping(params, weights, mapping)
+    out = model.apply(params, batch)["output"]
+    out = np.asarray(out)[:len(graphs)]
+    np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=2e-5)
+
+
+def test_graphsage_matches_reference():
+    graphs, weights, ref_out = _load("graphsage")
+    for g in graphs:
+        g.pop("z"); g.pop("xyz")
+    batch = batch_graphs(graphs)
+
+    from gcnn_keras_tpu.models.sage import make_model
+    model = make_model(
+        depth=2, use_edge_features=True,
+        node_mlp_args={"units": [100, 50], "activation": ["relu", "linear"]},
+        edge_mlp_args={"units": [100, 50], "activation": ["relu", "linear"]},
+        pooling_args={"pooling_method": "mean"},
+        pooling_nodes_args={"pooling_method": "mean"},
+        output_mlp={"units": [25, 10, 1],
+                    "activation": ["relu", "relu", "sigmoid"],
+                    "use_bias": [True, True, False]})
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    mapping = []
+    for i in range(2):
+        mapping += [f"edge_mlp_{i}/dense_0/Dense_0/kernel",
+                    f"edge_mlp_{i}/dense_0/Dense_0/bias",
+                    f"edge_mlp_{i}/dense_1/Dense_0/kernel",
+                    f"edge_mlp_{i}/dense_1/Dense_0/bias",
+                    f"node_mlp_{i}/dense_0/Dense_0/kernel",
+                    f"node_mlp_{i}/dense_0/Dense_0/bias",
+                    f"node_mlp_{i}/dense_1/Dense_0/kernel",
+                    f"node_mlp_{i}/dense_1/Dense_0/bias",
+                    f"norm_{i}/LayerNorm_0/scale", f"norm_{i}/LayerNorm_0/bias"]
+    mapping += ["out_mlp/dense_0/Dense_0/kernel", "out_mlp/dense_0/Dense_0/bias",
+                "out_mlp/dense_1/Dense_0/kernel", "out_mlp/dense_1/Dense_0/bias",
+                "out_mlp/dense_2/Dense_0/kernel"]
+    params = _apply_mapping(params, weights, mapping)
+    out = model.apply(params, batch)["output"]
+    out = np.asarray(out)[:len(graphs)]
+    np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=2e-5)
+
+
+def test_dmpnn_matches_reference():
+    graphs, weights, ref_out = _load("dmpnn")
+    for g in graphs:
+        g.pop("z"); g.pop("xyz"); g.pop("edge_indices_reverse", None)
+    batch = batch_graphs(graphs, compute_reverse_edges=True)
+
+    from gcnn_keras_tpu.models.dmpnn import make_model
+    model = make_model(
+        depth=2,
+        output_mlp={"units": [64, 32, 1],
+                    "activation": ["relu", "relu", "linear"],
+                    "use_bias": [True, True, False]})
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    mapping = ["edge_init/Dense_0/kernel", "edge_init/Dense_0/bias",
+               "edge_dense_shared/Dense_0/kernel",
+               "edge_dense_shared/Dense_0/bias",
+               "node_dense/Dense_0/kernel", "node_dense/Dense_0/bias",
+               "out_mlp/dense_0/Dense_0/kernel", "out_mlp/dense_0/Dense_0/bias",
+               "out_mlp/dense_1/Dense_0/kernel", "out_mlp/dense_1/Dense_0/bias",
+               "out_mlp/dense_2/Dense_0/kernel"]
+    params = _apply_mapping(params, weights, mapping)
+    out = model.apply(params, batch)["output"]
+    out = np.asarray(out)[:len(graphs)]
+    np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=2e-5)
+
+
+def test_hdnnp2nd_matches_reference():
+    graphs, weights, ref_out = _load("hdnnp2nd")
+    for g in graphs:
+        g["node_number"] = g.pop("z").astype(np.int64)
+        g["node_coordinates"] = g["xyz"]
+    batch = batch_graphs(graphs)
+
+    from gcnn_keras_tpu.models.hdnnp2nd import make_model_behler
+    model = make_model_behler(
+        g2_kwargs={"eta": [0.0, 0.3], "rs": [0.0, 3.0], "rc": 10.0,
+                   "elements": [1, 6, 8]},
+        g4_kwargs={"eta": [0.0, 0.3], "lamda": [-1.0, 1.0], "rc": 6.0,
+                   "zeta": [1.0, 8.0], "elements": [1, 6, 8],
+                   "multiplicity": 2.0},
+        normalize_kwargs={},
+        mlp_kwargs={"units": [32, 32, 1], "num_relations": 9,
+                    "activation": ["swish", "swish", "linear"]})
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    # w0-w4 are the ACSF parameter tables / element lookup constants —
+    # rebuilt from the same config on our side; the output match certifies
+    # them. The reference shares the RelationalMLP bias across relations;
+    # ours is per-relation, so broadcast.
+    mapping = [None, None, None, None, None,
+               "atomic_mlp/rel_dense_0/kernel", "atomic_mlp/rel_dense_0/bias",
+               "atomic_mlp/rel_dense_1/kernel", "atomic_mlp/rel_dense_1/bias",
+               "atomic_mlp/rel_dense_2/kernel", "atomic_mlp/rel_dense_2/bias"]
+    weights = list(weights)
+    for i in (6, 8, 10):
+        weights[i] = np.broadcast_to(weights[i], (9,) + weights[i].shape).copy()
+    params = _apply_mapping(params, weights, mapping)
+    out = model.apply(params, batch)["output"]
+    out = np.asarray(out)[:len(graphs)]
+    np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=5e-5)

@@ -1,0 +1,214 @@
+"""Record golden activations from the reference kgcnn implementation.
+
+Runs the reference (``/root/reference`` on sys.path, TF CPU with
+``TF_USE_LEGACY_KERAS=1``) on fixed small molecules and saves inputs, all
+layer weights (in ``model.weights`` order), and outputs to
+``tests/assets/ref_golden_<model>.npz``. The parity tests
+(``tests/test_reference_parity.py``) load these fixtures, copy the weights
+into this framework's models, and assert the full-model outputs match —
+the strongest cross-implementation check available (SURVEY.md §6: per-layer
+allclose against the reference).
+
+Usage:  TF_USE_LEGACY_KERAS=1 python tools/record_reference_goldens.py
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "/root/reference")
+
+ASSETS = os.path.join(os.path.dirname(__file__), "..", "tests", "assets")
+
+
+def fixed_molecules():
+    """Two small rigid molecules; all-pairs directed edges (i != j)."""
+    mols = [
+        # H2O
+        (np.array([8, 1, 1], dtype=np.int64),
+         np.array([[0.0, 0.0, 0.0], [0.9572, 0.0, 0.0],
+                   [-0.2399872, 0.92662721, 0.0]], dtype=np.float32)),
+        # CH4
+        (np.array([6, 1, 1, 1, 1], dtype=np.int64),
+         np.array([[0.0, 0.0, 0.0], [0.6291, 0.6291, 0.6291],
+                   [-0.6291, -0.6291, 0.6291], [-0.6291, 0.6291, -0.6291],
+                   [0.6291, -0.6291, -0.6291]], dtype=np.float32)),
+    ]
+    graphs = []
+    for z, xyz in mols:
+        n = len(z)
+        ei = np.array([[i, j] for i in range(n) for j in range(n) if i != j],
+                      dtype=np.int64)
+        graphs.append({"z": z, "xyz": xyz, "edge_indices": ei})
+    return graphs
+
+
+def to_ragged(graphs):
+    import tensorflow as tf
+    z = tf.ragged.constant([g["z"].astype(np.float32) for g in graphs],
+                           ragged_rank=1)
+    xyz = tf.ragged.constant([g["xyz"] for g in graphs], ragged_rank=1,
+                             inner_shape=(3,))
+    ei = tf.ragged.constant([g["edge_indices"] for g in graphs],
+                            ragged_rank=1, inner_shape=(2,), dtype="int64")
+    return z, xyz, ei
+
+
+def save_golden(name, model, inputs_np, out):
+    graphs = inputs_np
+    payload = {}
+    for i, g in enumerate(graphs):
+        for k, v in g.items():
+            payload[f"g{i}_{k}"] = v
+    payload["n_graphs"] = np.array(len(graphs))
+    for wi, w in enumerate(model.weights):
+        payload[f"w{wi:03d}"] = w.numpy()
+        payload[f"wname{wi:03d}"] = np.array(w.name)
+    if isinstance(out, (list, tuple)):
+        for oi, o in enumerate(out):
+            payload[f"out{oi}"] = np.asarray(o)
+    else:
+        payload["out0"] = np.asarray(out)
+    path = os.path.join(ASSETS, f"ref_golden_{name}.npz")
+    np.savez(path, **payload)
+    print(f"saved {path}: {len(model.weights)} weights, out0 "
+          f"{payload['out0'].shape} = {payload['out0'].reshape(-1)[:4]}")
+
+
+def record_schnet():
+    from kgcnn.literature.Schnet import make_model
+    np.random.seed(7)
+    import tensorflow as tf
+    tf.keras.utils.set_random_seed(7)
+    model = make_model(depth=2)
+    graphs = fixed_molecules()
+    out = model(to_ragged(graphs), training=False)
+    save_golden("schnet", model, graphs, out)
+
+
+def record_painn():
+    from kgcnn.literature.PAiNN import make_model
+    import tensorflow as tf
+    tf.keras.utils.set_random_seed(11)
+    model = make_model(depth=2)
+    graphs = fixed_molecules()
+    out = model(to_ragged(graphs), training=False)
+    save_golden("painn", model, graphs, out)
+
+
+def record_gcn():
+    from kgcnn.literature.GCN import make_model
+    import tensorflow as tf
+    tf.keras.utils.set_random_seed(13)
+    model = make_model(depth=3)
+    rs = np.random.RandomState(3)
+    graphs = fixed_molecules()
+    # GCN wants node features + edge weights
+    for g in graphs:
+        g["node_attributes"] = rs.randn(len(g["z"]), 8).astype(np.float32)
+        g["edge_weights"] = rs.rand(len(g["edge_indices"]), 1).astype(np.float32)
+    nodes = tf.ragged.constant([g["node_attributes"] for g in graphs],
+                               ragged_rank=1, inner_shape=(8,))
+    ew = tf.ragged.constant([g["edge_weights"] for g in graphs],
+                            ragged_rank=1, inner_shape=(1,))
+    ei = tf.ragged.constant([g["edge_indices"] for g in graphs],
+                            ragged_rank=1, inner_shape=(2,), dtype="int64")
+    model = make_model(depth=3, inputs=[
+        {"shape": (None, 8), "name": "node_attributes", "dtype": "float32",
+         "ragged": True},
+        {"shape": (None, 1), "name": "edge_weights", "dtype": "float32",
+         "ragged": True},
+        {"shape": (None, 2), "name": "edge_indices", "dtype": "int64",
+         "ragged": True}],
+        input_embedding={"node": {"input_dim": 95, "output_dim": 64},
+                         "edge": {"input_dim": 10, "output_dim": 64}})
+    out = model([nodes, ew, ei], training=False)
+    save_golden("gcn", model, graphs, out)
+
+
+if __name__ == "__main__":
+    import tensorflow as tf
+    tf.config.set_visible_devices([], "GPU")
+    for fn in (record_schnet, record_painn, record_gcn):
+        try:
+            fn()
+        except Exception:
+            import traceback
+            print(f"--- {fn.__name__} failed:")
+            traceback.print_exc(limit=5)
+
+
+def _molnet_inputs(node_dim=8, edge_dim=5, seed=5):
+    import tensorflow as tf
+    rs = np.random.RandomState(seed)
+    graphs = fixed_molecules()
+    for g in graphs:
+        g["node_attributes"] = rs.randn(len(g["z"]), node_dim).astype(np.float32)
+        g["edge_attributes"] = rs.rand(len(g["edge_indices"]),
+                                       edge_dim).astype(np.float32)
+    nodes = tf.ragged.constant([g["node_attributes"] for g in graphs],
+                               ragged_rank=1, inner_shape=(node_dim,))
+    ea = tf.ragged.constant([g["edge_attributes"] for g in graphs],
+                            ragged_rank=1, inner_shape=(edge_dim,))
+    ei = tf.ragged.constant([g["edge_indices"] for g in graphs],
+                            ragged_rank=1, inner_shape=(2,), dtype="int64")
+    return graphs, nodes, ea, ei
+
+
+def _record_molnet(name, seed, **kwargs):
+    import tensorflow as tf
+    mod = __import__(f"kgcnn.literature.{name}", fromlist=["make_model"])
+    tf.keras.utils.set_random_seed(seed)
+    graphs, nodes, ea, ei = _molnet_inputs()
+    inputs = [
+        {"shape": (None, 8), "name": "node_attributes", "dtype": "float32",
+         "ragged": True},
+        {"shape": (None, 5), "name": "edge_attributes", "dtype": "float32",
+         "ragged": True},
+        {"shape": (None, 2), "name": "edge_indices", "dtype": "int64",
+         "ragged": True}]
+    model = mod.make_model(inputs=inputs, **kwargs)
+    out = model([nodes, ea, ei], training=False)
+    save_golden(name.lower(), model, graphs, out)
+
+
+def record_gin():
+    # GIN ignores edge features; plain variant takes [nodes, edge_indices]
+    import tensorflow as tf
+    from kgcnn.literature.GIN import make_model
+    tf.keras.utils.set_random_seed(17)
+    graphs, nodes, ea, ei = _molnet_inputs()
+    model = make_model(depth=2, inputs=[
+        {"shape": (None, 8), "name": "node_attributes", "dtype": "float32",
+         "ragged": True},
+        {"shape": (None, 2), "name": "edge_indices", "dtype": "int64",
+         "ragged": True}])
+    out = model([nodes, ei], training=False)
+    save_golden("gin", model, graphs, out)
+
+
+def record_gatv2():
+    _record_molnet("GATv2", 19, depth=1, attention_heads_num=2)
+
+
+def record_graphsage():
+    _record_molnet("GraphSAGE", 23, depth=2)
+
+
+def record_dmpnn():
+    import tensorflow as tf
+    from kgcnn.literature.DMPNN import make_model
+    from kgcnn.graph.adj import compute_reverse_edges_index_map
+    tf.keras.utils.set_random_seed(29)
+    graphs, nodes, ea, ei = _molnet_inputs()
+    for g in graphs:
+        g["edge_indices_reverse"] = compute_reverse_edges_index_map(
+            g["edge_indices"]).astype(np.int64)
+    rev = tf.ragged.constant(
+        [g["edge_indices_reverse"][:, None] for g in graphs],
+        ragged_rank=1, inner_shape=(1,), dtype="int64")
+    model = make_model(depth=2)
+    out = model([nodes, ea, ei, rev], training=False)
+    save_golden("dmpnn", model, graphs, out)
