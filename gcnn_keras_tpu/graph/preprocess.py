@@ -61,7 +61,8 @@ def set_range_periodic(graph: Dict[str, np.ndarray], max_distance: float = 4.0,
     ``preprocessor.py:371`` SetRangePeriodic).
 
     Returns ``range_indices`` (M,2) [receiver, sender], ``range_image`` (M,3)
-    integer images of the *receiving* node, ``range_attributes`` distances.
+    integer images of the *sending* node (reference convention:
+    ``d = x_i - (x_j + s @ L)``), ``range_attributes`` distances.
     Supercell radius is derived from the cutoff and the lattice's plane
     spacings, vectorized over all images at once.
     """
@@ -76,9 +77,9 @@ def set_range_periodic(graph: Dict[str, np.ndarray], max_distance: float = 4.0,
     images = np.stack(np.meshgrid(*rng, indexing="ij"), axis=-1).reshape(-1, 3)
     shifts = images @ lat  # (I, 3)
 
-    # all pair distances: receiver i at xyz[i] + shift, sender j at xyz[j]
-    # vec = (x_i + s) - x_j
-    diff = xyz[None, :, None, :] + shifts[:, None, None, :] - xyz[None, None, :, :]
+    # all pair distances: receiver i at xyz[i], sender j at xyz[j] + shift
+    # vec = x_i - (x_j + s)
+    diff = xyz[None, :, None, :] - shifts[:, None, None, :] - xyz[None, None, :, :]
     dist = np.linalg.norm(diff, axis=-1)  # (I, n_recv, n_send)
     mask = dist <= max_distance if exclusive else np.ones_like(dist, dtype=bool)
     central = np.all(images == 0, axis=1)

@@ -172,11 +172,89 @@ class RelationalGCNConv(nn.Module):
         self_msg = Dense(self.units, activation="linear", use_bias=self.use_bias,
                          name="self_dense")(nodes)
         hj = gather_nodes(nodes, batch.senders)
+        # the reference RelationalDense carries a (shared) bias
+        # (layers/relational.py Dense defaults)
         rel_msg = RelationalDense(self.units, self.num_relations,
-                                  activation="linear", use_bias=False,
+                                  activation="linear", use_bias=self.use_bias,
                                   name="rel_dense")(hj, edge_relations)
         if edge_weights is not None:
             w = edge_weights.reshape(edge_weights.shape[0], -1)[:, :1]
             rel_msg = rel_msg * w
         agg = pool_edges_to_nodes(batch, rel_msg, mode="sum")
         return get_activation(self.activation)(self_msg + agg)
+
+
+class KerasGRUSequencePooling(nn.Module):
+    """Graph readout via a GRU run over each graph's node sequence,
+    returning the final hidden state per graph — the reference CMPNN's
+    ``ks.layers.GRU(**pooling_gru)`` readout over the ragged node tensor
+    (``kgcnn/literature/CMPNN.py``). Implements keras GRU math exactly
+    (reset_after=True, tanh/sigmoid): kernel (F, 3U) [z|r|h], recurrent
+    kernel (U, 3U), bias (2, 3U) = [input, recurrent].
+
+    TPU note: a scan over N_max steps of (G, F) matmuls; fine for readout
+    (called once per model), not for per-edge work.
+    """
+
+    units: int
+
+    @nn.compact
+    def __call__(self, batch, nodes: Array) -> Array:
+        from ...batch import flat_to_padded
+        u = self.units
+        f = nodes.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (f, 3 * u))
+        rec_kernel = self.param("recurrent_kernel",
+                                nn.initializers.orthogonal(), (u, 3 * u))
+        bias = self.param("bias", nn.initializers.zeros, (2, 3 * u))
+
+        x_pad = flat_to_padded(nodes, batch)         # (G, N_max, F)
+        mask = flat_to_padded(
+            batch.node_mask.astype(nodes.dtype), batch)  # (G, N_max)
+        xw = x_pad @ kernel + bias[0]                # (G, N_max, 3U)
+
+        def step(h, inp):
+            xw_t, m_t = inp                          # (G, 3U), (G,)
+            rw = h @ rec_kernel + bias[1]            # (G, 3U)
+            xz, xr, xh = jnp.split(xw_t, 3, axis=-1)
+            rz, rr, rh = jnp.split(rw, 3, axis=-1)
+            z = jax.nn.sigmoid(xz + rz)
+            r = jax.nn.sigmoid(xr + rr)
+            hh = jnp.tanh(xh + r * rh)
+            h_new = z * h + (1.0 - z) * hh
+            m = m_t[:, None].astype(h.dtype)
+            return h * (1 - m) + h_new * m, None
+
+        h0 = jnp.zeros((x_pad.shape[0], u), dtype=nodes.dtype)
+        h_final, _ = jax.lax.scan(step, h0,
+                                  (jnp.swapaxes(xw, 0, 1),
+                                   jnp.swapaxes(mask, 0, 1)))
+        return h_final
+
+
+class KerasGRUCellUpdate(nn.Module):
+    """Single keras-GRUCell step for node updates (parity: the reference
+    ``GRUUpdate`` wraps ``ks.layers.GRUCell``, ``mpnn_conv.py:111``), with
+    keras weight layout for golden parity: kernel (F_in, 3U) [z|r|h],
+    recurrent kernel (U, 3U), bias (2, 3U) [input, recurrent]
+    (reset_after=True)."""
+
+    units: int
+
+    @nn.compact
+    def __call__(self, state: Array, inputs: Array) -> Array:
+        u = self.units
+        f = inputs.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), (f, 3 * u))
+        rec_kernel = self.param("recurrent_kernel",
+                                nn.initializers.orthogonal(), (u, 3 * u))
+        bias = self.param("bias", nn.initializers.zeros, (2, 3 * u))
+        xw = inputs @ kernel + bias[0]
+        rw = state @ rec_kernel + bias[1]
+        xz, xr, xh = jnp.split(xw, 3, axis=-1)
+        rz, rr, rh = jnp.split(rw, 3, axis=-1)
+        z = jax.nn.sigmoid(xz + rz)
+        r = jax.nn.sigmoid(xr + rr)
+        hh = jnp.tanh(xh + r * rh)
+        return z * state + (1.0 - z) * hh

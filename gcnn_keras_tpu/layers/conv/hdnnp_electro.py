@@ -135,12 +135,22 @@ class ElectrostaticEnergyGaussCharge(nn.Module):
 
     multiplicity: float = 2.0
     param_trainable: bool = False
+    # standalone layer: Angstrom radii (hdnnp_conv.py:318 0.01*pm); the
+    # fused CENT+electrostatic layer overrides with Bohr radii — in the
+    # reference the fused class inherits (CENTCharge,
+    # ElectrostaticEnergyGaussCharge) and the MRO resolves _default_radii to
+    # CENTCharge's 0.0188973*pm table (hdnnp_conv.py:85,365), so the
+    # electrostatic sigma is Bohr there. Verified against recorded weights
+    # (tests/assets/ref_golden_hdnnp4th.npz w012).
+    sigma_table: Any = None
 
     @nn.compact
     def __call__(self, batch: GraphBatch, q: Array,
                  positions: Optional[Array] = None) -> Array:
-        sigma_t = (self.param("sigma", lambda k: jnp.asarray(GAUSS_RADII))
-                   if self.param_trainable else jnp.asarray(GAUSS_RADII))
+        table = jnp.asarray(GAUSS_RADII if self.sigma_table is None
+                            else self.sigma_table)
+        sigma_t = (self.param("sigma", lambda k: table)
+                   if self.param_trainable else table)
         z = jnp.clip(batch.nodes["node_number"].astype(jnp.int32), 0, _MAX_Z - 1)
         pos = positions if positions is not None else batch.nodes["node_coordinates"]
         qf = q.reshape(q.shape[0], -1)[:, 0]
@@ -196,5 +206,8 @@ class CENTChargePlusElectrostaticEnergy(nn.Module):
         e = ElectrostaticEnergyGaussCharge(
             multiplicity=self.multiplicity,
             param_trainable=self.param_trainable,
+            # fused layer uses the CENT (Bohr) radii for sigma — reference
+            # MRO quirk, see ElectrostaticEnergyGaussCharge.sigma_table
+            sigma_table=CENT_RADII,
             name="electrostatic_energy")(batch, q, positions)
         return q, e

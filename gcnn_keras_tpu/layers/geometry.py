@@ -31,8 +31,11 @@ def edge_vectors(batch: GraphBatch, positions: Optional[Array] = None,
         image = batch.edges["range_image"].astype(pos.dtype)  # (E, 3)
         lattice = batch.globals["graph_lattice"]  # (G, 3, 3) row vectors
         lat_e = lattice[batch.edge_graph_id]  # (E, 3, 3)
-        # receiver position is shifted by image @ lattice
-        vec = vec + jnp.einsum("ei,eij->ej", image, lat_e)
+        # the image shifts the SENDER: d = x_i - (x_j + s @ L), matching the
+        # reference convention (ShiftPeriodicLattice geom.py:76,
+        # DisplacementVectorsUnitCell geom.py:964) so reference-preprocessed
+        # range_image arrays work unchanged
+        vec = vec - jnp.einsum("ei,eij->ej", image, lat_e)
     return vec
 
 

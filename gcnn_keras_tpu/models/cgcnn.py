@@ -46,14 +46,24 @@ class CGCNNLayer(nn.Module):
         ni = gather_nodes(nodes, batch.receivers)
         nj = gather_nodes(nodes, batch.senders)
         z = jnp.concatenate([ni, nj, edges], axis=-1)
-        gate = Dense(self.units, activation="sigmoid", name="w_f")(z)
-        core = Dense(self.units, activation=self.activation_s, name="w_s")(z)
+        # reference cgcnn_conv.py: linear f/s denses -> per-branch batch norm
+        # -> sigmoid gate x activation_s core; pooled update batch-normed
+        # before the residual add, then activation_out
+        x_f = Dense(self.units, activation="linear", name="w_f")(z)
+        x_s = Dense(self.units, activation="linear", name="w_s")(z)
+        if self.batch_normalization:
+            x_f = GraphBatchNorm(name="bn_f")(x_f, batch.edge_mask,
+                                              use_running_average=not train)
+            x_s = GraphBatchNorm(name="bn_s")(x_s, batch.edge_mask,
+                                              use_running_average=not train)
+        gate = jax.nn.sigmoid(x_f)
+        core = get_activation(self.activation_s)(x_s)
         msg = gate * core
         msg = msg * batch.edge_mask[:, None].astype(msg.dtype)
         agg = pool_edges_to_nodes(batch, msg, mode="sum")
         if self.batch_normalization:
-            agg = GraphBatchNorm(name="bn")(agg, batch.node_mask,
-                                            use_running_average=not train)
+            agg = GraphBatchNorm(name="bn_out")(agg, batch.node_mask,
+                                                use_running_average=not train)
         return get_activation(self.activation_out)(nodes + agg)
 
 

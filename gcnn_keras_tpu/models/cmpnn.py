@@ -25,6 +25,7 @@ model_default = dict(
     node_initialize={"units": 300, "activation": "relu"},
     edge_initialize={"units": 300, "activation": "relu"},
     edge_dense={"units": 300, "activation": "linear"},
+    edge_activation={"activation": "relu"},
     node_dense={"units": 300, "activation": "linear"},
     verbose=10, depth=5,
     dropout=None,
@@ -51,39 +52,48 @@ class CMPNN(nn.Module):
             ed = jnp.zeros((batch.n_edge, 1), dtype=n.dtype)
         pair = batch.edges["edge_pair_index"]
 
+        # reference CMPNN.py: node init on nodes, edge init on edge
+        # attributes ONLY; message loop runs depth-1 times; final booster +
+        # concat([m, h, h0]) -> node dense; GRU sequence readout.
         n = Dense(cfg["node_initialize"]["units"],
                   activation=cfg["node_initialize"]["activation"],
                   name="node_init")(n)
+        h0_node = n
         h_e = Dense(cfg["edge_initialize"]["units"],
                     activation=cfg["edge_initialize"]["activation"],
-                    name="edge_init")(
-            jnp.concatenate([gather_nodes(n, batch.senders), ed], axis=-1))
-        h0 = h_e
+                    name="edge_init")(ed)
+        he0 = h_e
+        from ..ops.activ import get_activation
+        edge_act = get_activation(cfg.get("edge_activation",
+                                          {"activation": "relu"})["activation"])
 
-        for i in range(cfg["depth"]):
-            # communicative booster: message to node = sum + max of inbound edges
-            agg_sum = pool_edges_to_nodes(batch, h_e, mode="sum")
+        for i in range(cfg["depth"] - 1):
+            # communicative booster: message to node = sum * max of inbound
+            agg_sum = pool_edges_to_nodes(batch, h_e, **cfg["pooling_kwargs"])
             agg_max = pool_edges_to_nodes(batch, h_e, mode="max")
-            n = n + agg_sum * agg_max if n.shape == agg_sum.shape else agg_sum * agg_max
+            n = n + agg_sum * agg_max
             # edge update: node message at sender minus reverse edge
             msg = gather_nodes(n, batch.senders) - jnp.take(h_e, pair, axis=0)
             h_e = Dense(cfg["edge_dense"]["units"],
                         activation=cfg["edge_dense"]["activation"],
                         name=f"edge_dense_{i}")(msg)
-            h_e = jax.nn.relu(h_e + h0)
+            h_e = edge_act(h_e + he0)
 
-        agg = pool_edges_to_nodes(batch, h_e, **cfg["pooling_kwargs"])
+        agg_sum = pool_edges_to_nodes(batch, h_e, **cfg["pooling_kwargs"])
+        agg_max = pool_edges_to_nodes(batch, h_e, mode="max")
+        m = agg_sum * agg_max
         n = Dense(cfg["node_dense"]["units"],
                   activation=cfg["node_dense"]["activation"], name="node_out")(
-            jnp.concatenate([n, agg], axis=-1))
-        if cfg["use_final_gru"]:
-            u = cfg["pooling_gru"]["units"]
-            n_in = Dense(u, activation="linear", name="gru_proj")(n)
-            n = GRUUpdate(u, name="gru_final")(n_in, n_in)
+            jnp.concatenate([m, n, h0_node], axis=-1))
 
         if cfg["output_embedding"] == "graph":
             n = n * batch.node_mask[:, None].astype(n.dtype)
-            out = pool_nodes_to_graph(batch, n, mode="sum")
+            if cfg["use_final_gru"]:
+                from ..layers.conv.basic import KerasGRUSequencePooling
+                out = KerasGRUSequencePooling(
+                    cfg["pooling_gru"]["units"], name="gru_final")(batch, n)
+            else:
+                out = pool_nodes_to_graph(batch, n, **cfg["pooling_kwargs"])
             out = MLP(cfg["output_mlp"]["units"],
                       activation=cfg["output_mlp"]["activation"], name="out_mlp")(out)
         else:

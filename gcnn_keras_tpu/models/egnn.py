@@ -23,7 +23,7 @@ model_default = dict(
                      "edge": {"input_dim": 95, "output_dim": 64}},
     depth=4,
     node_mlp_initialize=None,
-    use_edge_attributes=False,
+    use_edge_attributes=True,
     edge_mlp_kwargs={"units": [64, 64], "activation": ["swish", "linear"]},
     edge_attention_kwargs=None,
     use_normalized_difference=False,
@@ -48,10 +48,12 @@ class EGNN(nn.Module):
         cfg = self.config
         zx = batch.nodes.get("node_attributes", batch.nodes.get("node_number"))
         h = OptionalInputEmbedding(**cfg["input_embedding"]["node"])(zx)
-        # keep hidden width constant so residual skips type-check
-        node_units = cfg["node_mlp_kwargs"]["units"]
-        width = node_units[-1] if isinstance(node_units, (list, tuple)) else node_units
-        h = Dense(width, activation="linear", name="node_proj")(h)
+        # reference: optional initialize MLP, otherwise h = embedding
+        # directly (EGNN.py: h = GraphMLP(**node_mlp_initialize)(h0) if ...)
+        if cfg.get("node_mlp_initialize"):
+            h = MLP(cfg["node_mlp_initialize"]["units"],
+                    activation=cfg["node_mlp_initialize"]["activation"],
+                    name="node_init")(h)
         x = batch.nodes["node_coordinates"]
         ed = batch.edges.get("edge_attributes") if cfg["use_edge_attributes"] else None
 
@@ -60,7 +62,10 @@ class EGNN(nn.Module):
             hj = gather_nodes(h, batch.senders)
             diff = x[batch.receivers] - x[batch.senders]
             d2 = jnp.sum(diff * diff, axis=-1, keepdims=True)
-            feats = [hi, hj, d2]
+            # reference uses the euclidean NORM (EuclideanNorm, not squared)
+            safe = jnp.maximum(d2, 1e-12)
+            norm = jnp.where(d2 > 1e-12, jnp.sqrt(safe), jnp.sqrt(1e-12))
+            feats = [hi, hj, norm]
             if ed is not None:
                 feats.append(ed)
             m_ij = MLP(cfg["edge_mlp_kwargs"]["units"],

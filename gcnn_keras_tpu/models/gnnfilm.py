@@ -20,7 +20,9 @@ Array = jax.Array
 model_default = dict(
     input_embedding={"node": {"input_dim": 95, "output_dim": 64}},
     dense_relation_kwargs={"units": 64, "num_relations": 20},
-    dense_modulation_kwargs={"units": 64, "num_relations": 20},
+    # reference default modulation activation is SIGMOID (GNNFilm.py)
+    dense_modulation_kwargs={"units": 64, "num_relations": 20,
+                             "activation": "sigmoid"},
     activation_kwargs={"activation": "swish"},
     depth=5,
     output_embedding="graph",
@@ -48,19 +50,28 @@ class GNNFilm(nn.Module):
         r = cfg["dense_relation_kwargs"]["num_relations"]
         for i in range(cfg["depth"]):
             hj = gather_nodes(n, batch.senders)
-            msg = RelationalDense(u, r, activation="linear", use_bias=False,
-                                  name=f"w_rel_{i}")(hj, rel)
+            msg = RelationalDense(
+                u, r, activation=cfg["dense_relation_kwargs"].get(
+                    "activation", "linear"), name=f"w_rel_{i}")(hj, rel)
             hi = gather_nodes(n, batch.receivers)
-            gamma = RelationalDense(u, r, activation="linear",
+            um = cfg["dense_modulation_kwargs"]["units"]
+            rm = cfg["dense_modulation_kwargs"]["num_relations"]
+            mod_act = cfg["dense_modulation_kwargs"].get("activation", "sigmoid")
+            gamma = RelationalDense(um, rm, activation=mod_act,
                                     name=f"gamma_{i}")(hi, rel)
-            beta = RelationalDense(u, r, activation="linear",
+            beta = RelationalDense(um, rm, activation=mod_act,
                                    name=f"beta_{i}")(hi, rel)
-            msg = act(gamma * msg + beta)
-            n = pool_edges_to_nodes(batch, msg, mode="sum")
+            # FiLM: modulate, pool, THEN activate (reference GNNFilm.py:
+            # n = Activation(...)(PoolingLocalMessages(...)(gamma*h_j+beta)))
+            msg = gamma * msg + beta
+            n = act(pool_edges_to_nodes(batch, msg, mode="sum"))
 
         if cfg["output_embedding"] == "graph":
             n = n * batch.node_mask[:, None].astype(n.dtype)
-            out = pool_nodes_to_graph(batch, n, mode="sum")
+            # reference readout is PoolingNodes() whose default is MEAN
+            out = pool_nodes_to_graph(
+                batch, n, **cfg.get("node_pooling_args",
+                                    {"pooling_method": "mean"}))
             out = MLP(cfg["output_mlp"]["units"],
                       activation=cfg["output_mlp"]["activation"], name="out_mlp")(out)
         else:

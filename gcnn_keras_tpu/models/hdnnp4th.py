@@ -66,7 +66,9 @@ class HDNNP4th(nn.Module):
                         name="acsf_g4")(batch, z=z)
         rep = jnp.concatenate([rep_g2, rep_g4, esp[:, None]], axis=-1)
 
-        if cfg.get("normalize_kwargs") is not None:
+        # truthiness gate like the reference (HDNNP4th.py:146): an EMPTY
+        # normalize_kwargs dict means NO normalization layer
+        if cfg.get("normalize_kwargs"):
             rep = GraphBatchNorm(**cfg["normalize_kwargs"], name="norm")(
                 rep, batch.node_mask, use_running_average=not train)
 

@@ -54,7 +54,9 @@ class INorp(nn.Module):
         for i in range(cfg["depth"]):
             ni = gather_nodes(n, batch.receivers)
             nj = gather_nodes(n, batch.senders)
-            eu = jnp.concatenate([ni, nj, ed], axis=-1)
+            # reference concatenates [outgoing, ingoing, edge]
+            # (INorp.py: upd = concat([eu2, eu1]); eu = concat([upd, ed]))
+            eu = jnp.concatenate([nj, ni, ed], axis=-1)
             eu = MLP(cfg["edge_mlp_args"]["units"],
                      activation=cfg["edge_mlp_args"]["activation"],
                      name=f"edge_mlp_{i}")(eu)
@@ -70,7 +72,9 @@ class INorp(nn.Module):
                 from ..layers.pool.set2set import Set2Set
                 out = Set2Set(**cfg["set2set_args"], name="set2set")(batch, n)
             else:
-                out = pool_nodes_to_graph(batch, n, mode="sum")
+                # reference output readout uses pooling_args too
+                # (INorp.py: PoolingNodes(**pooling_args))
+                out = pool_nodes_to_graph(batch, n, **cfg["pooling_args"])
             out = MLP(cfg["output_mlp"]["units"],
                       activation=cfg["output_mlp"]["activation"], name="out_mlp")(out)
         else:

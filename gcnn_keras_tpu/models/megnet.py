@@ -30,7 +30,8 @@ model_default = dict(
     gauss_args={"bins": 20, "distance_max": 4.0, "offset": 0.0, "sigma": 0.4},
     meg_block_args={"node_embed": [64, 32, 32], "edge_embed": [64, 32, 32],
                     "env_embed": [64, 32, 32], "activation": "softplus2"},
-    set2set_args={"channels": 16, "T": 3, "pooling_method": "sum"},
+    set2set_args={"channels": 16, "T": 3, "pooling_method": "sum",
+                  "init_qstar": "0"},
     node_ff_args={"units": [64, 32], "activation": "softplus2"},
     edge_ff_args={"units": [64, 32], "activation": "softplus2"},
     state_ff_args={"units": [64, 32], "activation": "softplus2"},
@@ -56,17 +57,22 @@ class MEGnetBlock(nn.Module):
         ni = gather_nodes(n, batch.receivers)
         nj = gather_nodes(n, batch.senders)
         ue = jnp.take(u, batch.edge_graph_id, axis=0)
+        # reference megnet_conv.py concat orders + LINEAR last dense of
+        # each phi MLP; block pooling default is MEAN
         ec = jnp.concatenate([ni, nj, e, ue], axis=-1)
-        ep = MLP(list(self.edge_embed), activation=act, name="edge_mlp")(ec)
-        # node update: concat [n, pooled ep, u]
+        ep = MLP(list(self.edge_embed), activation=act, last_linear=True,
+                 name="edge_mlp")(ec)
+        # node update: concat [pooled ep, n, u] (megnet_conv.py:112)
         eu = pool_edges_to_nodes(batch, ep, mode="mean")
-        nc = jnp.concatenate([n, eu, gather_state(u, batch)], axis=-1)
-        np_ = MLP(list(self.node_embed), activation=act, name="node_mlp")(nc)
-        # state update: concat [mean nodes, mean edges, u]
+        nc = jnp.concatenate([eu, n, gather_state(u, batch)], axis=-1)
+        np_ = MLP(list(self.node_embed), activation=act, last_linear=True,
+                  name="node_mlp")(nc)
+        # state update: concat [mean edges, mean nodes, u] (megnet_conv.py:121)
         n_mean = pool_nodes_to_graph(batch, np_, mode="mean")
         e_mean = pool_edges_to_graph(batch, ep, mode="mean")
-        uc = jnp.concatenate([n_mean, e_mean, u], axis=-1)
-        up = MLP(list(self.env_embed), activation=act, name="env_mlp")(uc)
+        uc = jnp.concatenate([e_mean, n_mean, u], axis=-1)
+        up = MLP(list(self.env_embed), activation=act, last_linear=True,
+                 name="env_mlp")(uc)
         return np_, ep, up
 
 
@@ -112,17 +118,24 @@ class Megnet(nn.Module):
                 v1, e1, u1 = vp, ep, up
             v2, e2, u2 = MEGnetBlock(**cfg["meg_block_args"],
                                      name=f"block_{i}")(batch, v1, e1, u1)
-            # residual
-            vp = v2 + v1
-            ep = e2 + e1
-            up = u2 + u1
+            # residual adds the PRE-ff value (reference Megnet.py:
+            # vp = LazyAdd()([vp2, vp]))
+            vp = v2 + vp
+            ep = e2 + ep
+            up = u2 + up
 
         if cfg["use_set2set"]:
-            vp_proj = vp * batch.node_mask[:, None].astype(vp.dtype)
+            # reference projects to set2set channels first (Megnet.py)
+            from ..layers.mlp import Dense
+            vp_p = Dense(cfg["set2set_args"]["channels"], activation="linear",
+                         name="set2set_proj_nodes")(vp)
+            ep_p = Dense(cfg["set2set_args"]["channels"], activation="linear",
+                         name="set2set_proj_edges")(ep)
+            vp_p = vp_p * batch.node_mask[:, None].astype(vp_p.dtype)
             node_read = Set2Set(**cfg["set2set_args"], name="set2set_nodes")(
-                batch, vp_proj)
+                batch, vp_p)
             edge_read = Set2Set(**cfg["set2set_args"], name="set2set_edges")(
-                batch, ep * batch.edge_mask[:, None].astype(ep.dtype),
+                batch, ep_p * batch.edge_mask[:, None].astype(ep_p.dtype),
                 segment_ids=batch.edge_graph_id, num_segments=batch.n_graphs,
                 mask=batch.edge_mask)
         else:

@@ -25,14 +25,15 @@ model_default = dict(
                      "edge": {"input_dim": 5, "output_dim": 64}},
     make_distance=False, expand_distance=False,
     gauss_args={"bins": 20, "distance_max": 4.0, "offset": 0.0, "sigma": 0.4},
-    set2set_args={"channels": 32, "T": 3},
+    set2set_args={"channels": 32, "T": 3, "pooling_method": "sum"},
     pooling_args={"pooling_method": "sum"},
-    edge_mlp={"units": [64, 64], "activation": ["swish", "linear"]},
+    edge_mlp={"units": [64, 64, 64], "activation": "swish"},
     use_set2set=True,
     depth=3,
     node_dim=64,
     output_embedding="graph",
-    output_mlp={"units": [25, 10, 1], "activation": ["selu", "selu", "linear"]},
+    output_mlp={"units": [25, 10, 1], "activation": ["selu", "selu", "sigmoid"],
+                "use_bias": [True, True, False]},
 )
 
 
@@ -44,8 +45,8 @@ class NMPN(nn.Module):
         cfg = self.config
         f = cfg["node_dim"]
         x = batch.nodes.get("node_attributes", batch.nodes.get("node_number"))
-        n = OptionalInputEmbedding(**cfg["input_embedding"]["node"])(x)
-        n = Dense(f, activation="linear", name="node_proj")(n)
+        n0 = OptionalInputEmbedding(**cfg["input_embedding"]["node"])(x)
+        n = Dense(f, activation="linear", name="node_proj")(n0)
 
         if cfg["make_distance"]:
             ed = edge_distances(batch)
@@ -58,22 +59,38 @@ class NMPN(nn.Module):
                     "edge", {"input_dim": 5, "output_dim": 64}))(ed)
         ed = ed * batch.edge_mask[:, None].astype(ed.dtype)
 
-        # edge network: MLP -> per-edge (F, F) message matrix
-        trafo = MLP(cfg["edge_mlp"]["units"], activation=cfg["edge_mlp"]["activation"],
-                    name="edge_net")(ed)
-        trafo = Dense(f * f, activation="linear", name="edge_net_out")(trafo)
-        trafo = trafo.reshape(-1, f, f)
+        # TWO edge networks (reference NMPN.py): per-edge (F, F) message
+        # matrices for the in- and out-direction, messages concatenated
+        trafo_in = MLP(cfg["edge_mlp"]["units"],
+                       activation=cfg["edge_mlp"]["activation"],
+                       name="edge_net_in")(ed)
+        trafo_in = Dense(f * f, activation="linear",
+                         name="edge_net_in_out")(trafo_in).reshape(-1, f, f)
+        trafo_out = MLP(cfg["edge_mlp"]["units"],
+                        activation=cfg["edge_mlp"]["activation"],
+                        name="edge_net_out")(ed)
+        trafo_out = Dense(f * f, activation="linear",
+                          name="edge_net_out_out")(trafo_out).reshape(-1, f, f)
 
-        gru = GRUUpdate(units=f, name="gru")
+        from ..layers.conv.basic import KerasGRUCellUpdate
+        gru = KerasGRUCellUpdate(units=f, name="gru")
         for i in range(cfg["depth"]):
-            hj = gather_nodes(n, batch.senders)
-            msg = matmul_messages(trafo, hj)
-            agg = pool_edges_to_nodes(batch, msg, **cfg["pooling_args"])
+            hj = gather_nodes(n, batch.senders)     # "outgoing" j
+            hi = gather_nodes(n, batch.receivers)   # "ingoing" i
+            m_in = matmul_messages(trafo_in, hj)
+            m_out = matmul_messages(trafo_out, hi)
+            eu = jnp.concatenate([m_in, m_out], axis=-1)
+            agg = pool_edges_to_nodes(batch, eu, **cfg["pooling_args"])
             n = gru(n, agg)
+
+        # concat initial embedding back in (reference: n = [n0 || n])
+        n = jnp.concatenate([n0, n], axis=-1)
 
         if cfg["output_embedding"] == "graph":
             n = n * batch.node_mask[:, None].astype(n.dtype)
             if cfg["use_set2set"]:
+                n = Dense(cfg["set2set_args"]["channels"], activation="linear",
+                          name="set2set_proj")(n)
                 out = Set2Set(**cfg["set2set_args"], name="set2set")(batch, n)
             else:
                 out = pool_nodes_to_graph(batch, n, mode="sum")

@@ -53,7 +53,10 @@ class RGCN(nn.Module):
 
         if cfg["output_embedding"] == "graph":
             n = n * batch.node_mask[:, None].astype(n.dtype)
-            out = pool_nodes_to_graph(batch, n, mode="sum")
+            # reference readout is PoolingNodes() whose default is MEAN
+            out = pool_nodes_to_graph(
+                batch, n, **cfg.get("node_pooling_args",
+                                    {"pooling_method": "mean"}))
             out = MLP(cfg["output_mlp"]["units"],
                       activation=cfg["output_mlp"]["activation"], name="out_mlp")(out)
         else:

@@ -132,6 +132,10 @@ def test_zoo_gnnfilm():
 def test_zoo_egnn():
     from gcnn_keras_tpu.models.egnn import make_model
     _run(make_model(depth=2,
+                    # embedding width must equal node_mlp output width for
+                    # the residual skip (same constraint as the reference)
+                    input_embedding={"node": {"input_dim": 95, "output_dim": 16},
+                                     "edge": {"input_dim": 95, "output_dim": 16}},
                     edge_mlp_kwargs={"units": [16, 16], "activation": ["swish", "linear"]},
                     coord_mlp_kwargs={"units": [16, 1], "activation": ["swish", "linear"]},
                     node_mlp_kwargs={"units": [16, 16], "activation": ["swish", "linear"]}),

@@ -322,3 +322,317 @@ def test_hdnnp2nd_matches_reference():
     out = model.apply(params, batch)["output"]
     out = np.asarray(out)[:len(graphs)]
     np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=5e-5)
+
+
+def test_hdnnp4th_matches_reference():
+    graphs, weights, ref_out_charge = _load("hdnnp4th")
+    d = np.load(os.path.join(ASSETS, "ref_golden_hdnnp4th.npz"))
+    ref_out_energy = d["out1"]
+    for g in graphs:
+        g["node_number"] = g.pop("z").astype(np.int64)
+        g["node_coordinates"] = g["xyz"]
+    batch = batch_graphs(graphs, global_keys=("total_charge",))
+
+    from gcnn_keras_tpu.models.hdnnp4th import make_model_behler
+    model = make_model_behler(
+        g2_kwargs={"eta": [0.0, 0.3], "rs": [0.0, 3.0], "rc": 10.0,
+                   "elements": [1, 6, 8]},
+        g4_kwargs={"eta": [0.0, 0.3], "lamda": [-1.0, 1.0], "rc": 6.0,
+                   "zeta": [1.0, 8.0], "elements": [1, 6, 8],
+                   "multiplicity": 2.0},
+        normalize_kwargs={},
+        mlp_charge_kwargs={"units": [32, 32, 1], "num_relations": 9,
+                           "activation": ["swish", "swish", "linear"]},
+        mlp_local_kwargs={"units": [32, 32, 1], "num_relations": 9,
+                          "activation": ["swish", "swish", "linear"]})
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    # w0-4: ACSF tables (constants, certified via output); w11/w12: the
+    # reference's physical hardness/sigma element tables (use_physical_params,
+    # non-trainable) — ours are built from the same published constants, so
+    # the output match certifies them too.
+    mapping = [None, None, None, None, None,
+               "mlp_charge/rel_dense_0/kernel", "mlp_charge/rel_dense_0/bias",
+               "mlp_charge/rel_dense_1/kernel", "mlp_charge/rel_dense_1/bias",
+               "mlp_charge/rel_dense_2/kernel", "mlp_charge/rel_dense_2/bias",
+               None, None,
+               "mlp_local/rel_dense_0/kernel", "mlp_local/rel_dense_0/bias",
+               "mlp_local/rel_dense_1/kernel", "mlp_local/rel_dense_1/bias",
+               "mlp_local/rel_dense_2/kernel", "mlp_local/rel_dense_2/bias"]
+    weights = list(weights)
+    for i in (6, 8, 10, 14, 16, 18):
+        weights[i] = np.broadcast_to(weights[i], (9,) + weights[i].shape).copy()
+    params = _apply_mapping(params, weights, mapping)
+    out = model.apply(params, batch)
+
+    # energy parity
+    energy = np.asarray(out["output"])[:len(graphs)]
+    np.testing.assert_allclose(energy, ref_out_energy, rtol=1e-4, atol=5e-5)
+    # charge parity (reference output padded (G, N_max, 1))
+    q = np.asarray(out["charge"])
+    nm = np.asarray(batch.node_mask)
+    gid = np.asarray(batch.graph_id)
+    for i, g in enumerate(graphs):
+        ours = q[nm & (gid == i)]
+        ref = ref_out_charge[i, :len(g["node_number"]), 0]
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=5e-5)
+
+
+def test_cmpnn_matches_reference():
+    graphs, weights, ref_out = _load("cmpnn")
+    for g in graphs:
+        g.pop("z"); g.pop("xyz"); g.pop("edge_indices_reverse", None)
+    batch = batch_graphs(graphs, compute_reverse_edges=True)
+
+    from gcnn_keras_tpu.models.cmpnn import make_model
+    model = make_model(depth=2)
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    mapping = ["node_init/Dense_0/kernel", "node_init/Dense_0/bias",
+               "edge_init/Dense_0/kernel", "edge_init/Dense_0/bias",
+               "edge_dense_0/Dense_0/kernel", "edge_dense_0/Dense_0/bias",
+               "node_out/Dense_0/kernel", "node_out/Dense_0/bias",
+               "gru_final/kernel", "gru_final/recurrent_kernel",
+               "gru_final/bias",
+               "out_mlp/dense_0/Dense_0/kernel", "out_mlp/dense_0/Dense_0/bias",
+               "out_mlp/dense_1/Dense_0/kernel", "out_mlp/dense_1/Dense_0/bias",
+               "out_mlp/dense_2/Dense_0/kernel"]
+    params = _apply_mapping(params, weights, mapping)
+    out = model.apply(params, batch)["output"]
+    out = np.asarray(out)[:len(graphs)]
+    np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=2e-5)
+
+
+def test_inorp_matches_reference():
+    graphs, weights, ref_out = _load("inorp")
+    for g in graphs:
+        g.pop("z"); g.pop("xyz")
+    batch = batch_graphs(graphs, global_keys=("graph_attributes",))
+
+    from gcnn_keras_tpu.models.inorp import make_model
+    model = make_model(
+        depth=2, use_set2set=False,
+        node_mlp_args={"units": [100, 50], "activation": ["relu", "linear"]},
+        edge_mlp_args={"units": [100, 100, 100, 100, 50],
+                       "activation": ["relu", "relu", "relu", "relu",
+                                      "linear"]},
+        pooling_args={"pooling_method": "mean"},
+        output_mlp={"units": [25, 10, 1],
+                    "activation": ["relu", "relu", "sigmoid"],
+                    "use_bias": [True, True, False]})
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    mapping = []
+    for i in range(2):
+        for j in range(5):
+            mapping += [f"edge_mlp_{i}/dense_{j}/Dense_0/kernel",
+                        f"edge_mlp_{i}/dense_{j}/Dense_0/bias"]
+        for j in range(2):
+            mapping += [f"node_mlp_{i}/dense_{j}/Dense_0/kernel",
+                        f"node_mlp_{i}/dense_{j}/Dense_0/bias"]
+    mapping += ["out_mlp/dense_0/Dense_0/kernel", "out_mlp/dense_0/Dense_0/bias",
+                "out_mlp/dense_1/Dense_0/kernel", "out_mlp/dense_1/Dense_0/bias",
+                "out_mlp/dense_2/Dense_0/kernel"]
+    params = _apply_mapping(params, weights, mapping)
+    out = model.apply(params, batch)["output"]
+    out = np.asarray(out)[:len(graphs)]
+    np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=2e-5)
+
+
+def test_rgcn_matches_reference():
+    graphs, weights, ref_out = _load("rgcn")
+    for g in graphs:
+        g.pop("z"); g.pop("xyz")
+    batch = batch_graphs(graphs)
+
+    from gcnn_keras_tpu.models.rgcn import make_model
+    model = make_model(
+        depth=2, dense_relation_kwargs={"units": 64, "num_relations": 5},
+        output_mlp={"units": [32, 1], "activation": ["relu", "linear"]})
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    weights = list(weights)
+    for i in (1, 5):  # shared relational bias -> per-relation broadcast
+        weights[i] = np.broadcast_to(weights[i], (5,) + weights[i].shape).copy()
+    mapping = []
+    for i in range(2):
+        mapping += [f"rgcn_{i}/rel_dense/kernel", f"rgcn_{i}/rel_dense/bias",
+                    f"rgcn_{i}/self_dense/Dense_0/kernel",
+                    f"rgcn_{i}/self_dense/Dense_0/bias"]
+    mapping += ["out_mlp/dense_0/Dense_0/kernel", "out_mlp/dense_0/Dense_0/bias",
+                "out_mlp/dense_1/Dense_0/kernel", "out_mlp/dense_1/Dense_0/bias"]
+    params = _apply_mapping(params, weights, mapping)
+    out = model.apply(params, batch)["output"]
+    out = np.asarray(out)[:len(graphs)]
+    np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=2e-5)
+
+
+def test_gnnfilm_matches_reference():
+    graphs, weights, ref_out = _load("gnnfilm")
+    for g in graphs:
+        g.pop("z"); g.pop("xyz")
+    batch = batch_graphs(graphs)
+
+    from gcnn_keras_tpu.models.gnnfilm import make_model
+    model = make_model(
+        depth=2,
+        dense_relation_kwargs={"units": 64, "num_relations": 5},
+        dense_modulation_kwargs={"units": 64, "num_relations": 5},
+        output_mlp={"units": [32, 1], "activation": ["relu", "linear"]})
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    weights = list(weights)
+    for i in (1, 3, 5, 7, 9, 11):  # shared relational biases -> broadcast
+        weights[i] = np.broadcast_to(weights[i], (5,) + weights[i].shape).copy()
+    # recorded order per depth: h_j (w_rel), gamma, beta
+    mapping = []
+    for i in range(2):
+        mapping += [f"w_rel_{i}/kernel", f"w_rel_{i}/bias",
+                    f"gamma_{i}/kernel", f"gamma_{i}/bias",
+                    f"beta_{i}/kernel", f"beta_{i}/bias"]
+    mapping += ["out_mlp/dense_0/Dense_0/kernel", "out_mlp/dense_0/Dense_0/bias",
+                "out_mlp/dense_1/Dense_0/kernel", "out_mlp/dense_1/Dense_0/bias"]
+    params = _apply_mapping(params, weights, mapping)
+    out = model.apply(params, batch)["output"]
+    out = np.asarray(out)[:len(graphs)]
+    np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=2e-5)
+
+
+def test_nmpn_matches_reference():
+    graphs, weights, ref_out = _load("nmpn")
+    for g in graphs:
+        g["node_number"] = g.pop("z").astype(np.int64)
+        g["node_coordinates"] = g["xyz"]
+    batch = batch_graphs(graphs)
+
+    from gcnn_keras_tpu.models.nmpn import make_model
+    model = make_model(depth=2, make_distance=True, expand_distance=True,
+                       output_mlp={"units": [25, 10, 1],
+                                   "activation": ["selu", "selu", "sigmoid"],
+                                   "use_bias": [True, True, False]})
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    mapping = ["OptionalInputEmbedding_0/Embed_0/embedding",
+               "node_proj/Dense_0/kernel", "node_proj/Dense_0/bias"]
+    for blk in ("edge_net_in", "edge_net_out"):
+        for j in range(3):
+            mapping += [f"{blk}/dense_{j}/Dense_0/kernel",
+                        f"{blk}/dense_{j}/Dense_0/bias"]
+    mapping += ["edge_net_in_out/Dense_0/kernel", "edge_net_in_out/Dense_0/bias",
+                "edge_net_out_out/Dense_0/kernel",
+                "edge_net_out_out/Dense_0/bias",
+                "gru/kernel", "gru/recurrent_kernel", "gru/bias",
+                "set2set_proj/Dense_0/kernel", "set2set_proj/Dense_0/bias",
+                "set2set/kernel", "set2set/recurrent_kernel", "set2set/bias",
+                "out_mlp/dense_0/Dense_0/kernel", "out_mlp/dense_0/Dense_0/bias",
+                "out_mlp/dense_1/Dense_0/kernel", "out_mlp/dense_1/Dense_0/bias",
+                "out_mlp/dense_2/Dense_0/kernel"]
+    params = _apply_mapping(params, weights, mapping)
+    out = model.apply(params, batch)["output"]
+    out = np.asarray(out)[:len(graphs)]
+    np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=2e-5)
+
+
+def test_megnet_matches_reference():
+    graphs, weights, ref_out = _load("megnet")
+    for g in graphs:
+        g["node_number"] = g.pop("z").astype(np.int64)
+        g["node_coordinates"] = g["xyz"]
+    batch = batch_graphs(graphs, global_keys=("graph_attributes",))
+
+    from gcnn_keras_tpu.models.megnet import make_model
+    model = make_model(nblocks=1)
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    mapping = ["OptionalInputEmbedding_0/Embed_0/embedding"]
+    for blk in ("node_ff_0", "edge_ff_0", "state_ff_0"):
+        for j in range(2):
+            mapping += [f"{blk}/dense_{j}/Dense_0/kernel",
+                        f"{blk}/dense_{j}/Dense_0/bias"]
+    for phi in ("node_mlp", "edge_mlp", "env_mlp"):
+        for j in range(3):
+            mapping += [f"block_0/{phi}/dense_{j}/Dense_0/kernel",
+                        f"block_0/{phi}/dense_{j}/Dense_0/bias"]
+    mapping += ["set2set_proj_nodes/Dense_0/kernel",
+                "set2set_proj_nodes/Dense_0/bias",
+                "set2set_proj_edges/Dense_0/kernel",
+                "set2set_proj_edges/Dense_0/bias",
+                "set2set_nodes/kernel", "set2set_nodes/recurrent_kernel",
+                "set2set_nodes/bias",
+                "set2set_edges/kernel", "set2set_edges/recurrent_kernel",
+                "set2set_edges/bias"]
+    for j in range(3):
+        mapping += [f"out_mlp/dense_{j}/Dense_0/kernel",
+                    f"out_mlp/dense_{j}/Dense_0/bias"]
+    params = _apply_mapping(params, weights, mapping)
+    out = model.apply(params, batch)["output"]
+    out = np.asarray(out)[:len(graphs)]
+    np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=2e-5)
+
+
+def test_cgcnn_crystal_matches_reference():
+    """Periodic CGCNN — also certifies the periodic edge-vector convention
+    (image shifts the sender, d = x_i - (x_j + s L))."""
+    graphs, weights, ref_out = _load("cgcnn")
+    prepared = []
+    for g in graphs:
+        frac, lat = g["frac"], g["lattice"]
+        prepared.append({
+            "node_number": g["z"].astype(np.int64),
+            "node_coordinates": (frac @ lat).astype(np.float32),
+            "edge_indices": g["edge_indices"],
+            "range_image": g["cell_translations"].astype(np.int64),
+            "graph_lattice": lat.astype(np.float32)})
+    batch = batch_graphs(prepared, global_keys=("graph_lattice",))
+
+    from gcnn_keras_tpu.models.cgcnn import make_crystal_model
+    model = make_crystal_model(
+        depth=1, gauss_args={"bins": 40, "distance_max": 8.0},
+        conv_layer_args={"units": 64, "activation_s": "softplus",
+                         "activation_out": "softplus",
+                         "batch_normalization": True},
+        node_pooling_args={"pooling_method": "mean"},
+        output_mlp={"units": [64, 1], "activation": ["softplus", "linear"],
+                    "use_bias": [True, False]})
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    mapping = ["OptionalInputEmbedding_0/Embed_0/embedding",
+               "proj/Dense_0/kernel", "proj/Dense_0/bias",
+               "conv_0/bn_f/scale", "conv_0/bn_f/bias",
+               "conv_0/bn_s/scale", "conv_0/bn_s/bias",
+               "conv_0/bn_out/scale", "conv_0/bn_out/bias",
+               "conv_0/w_f/Dense_0/kernel", "conv_0/w_f/Dense_0/bias",
+               "conv_0/w_s/Dense_0/kernel", "conv_0/w_s/Dense_0/bias",
+               None, None, None, None, None, None,  # moving stats (0/1 init)
+               "out_mlp/dense_0/Dense_0/kernel", "out_mlp/dense_0/Dense_0/bias",
+               "out_mlp/dense_1/Dense_0/kernel"]
+    params = _apply_mapping(params, weights, mapping)
+    out = model.apply(params, batch)["output"]
+    out = np.asarray(out)[:len(graphs)]
+    np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=2e-5)
+
+
+def test_egnn_matches_reference():
+    graphs, weights, ref_out = _load("egnn")
+    for g in graphs:
+        g["node_number"] = g.pop("z").astype(np.int64)
+        g["node_coordinates"] = g["xyz"]
+    batch = batch_graphs(graphs)
+
+    from gcnn_keras_tpu.models.egnn import make_model
+    model = make_model(depth=2)
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    # the last depth's coord MLP is pruned from the reference model graph
+    # (x is never used after the final update), so it has no weights there;
+    # ours keeps init values (it cannot affect the output either).
+    mapping = ["OptionalInputEmbedding_0/Embed_0/embedding"]
+    for blk in ("edge_mlp_0", "coord_mlp_0", "node_mlp_0",
+                "edge_mlp_1", "node_mlp_1", "out_mlp"):
+        for j in range(2):
+            mapping += [f"{blk}/dense_{j}/Dense_0/kernel",
+                        f"{blk}/dense_{j}/Dense_0/bias"]
+    params = _apply_mapping(params, weights, mapping)
+    out = model.apply(params, batch)["output"]
+    out = np.asarray(out)[:len(graphs)]
+    np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=2e-5)
