@@ -69,7 +69,17 @@ class SphericalBasisLayer(nn.Module):
         zeros_t = jnp.asarray(zeros)   # (L, n)
         norms_t = jnp.asarray(norms)
         rho = d_kj / self.cutoff  # (A,)
-        env = polynomial_envelope(rho, self.envelope_exponent)
+        # reference SBL envelope (dimenet_conv.py envelope()): with
+        # p = exponent + 1, env(u) = 1/u + a u^{p-1} + b u^p + c u^{p+1},
+        # zeroed beyond the cutoff — NOT the 1 + ... smooth variant
+        pe = self.envelope_exponent + 1
+        a = -(pe + 1) * (pe + 2) / 2.0
+        bco = float(pe * (pe + 2))
+        c = -pe * (pe + 1) / 2.0
+        safe = jnp.maximum(rho, 1e-12)
+        env = 1.0 / safe + a * safe ** (pe - 1) + bco * safe ** pe \
+            + c * safe ** (pe + 1)
+        env = jnp.where(rho < 1.0, env, 0.0)
         # radial: j_l(z_ln * rho) — evaluate per (l, n)
         arg = rho[:, None, None] * zeros_t[None, :, :]  # (A, L, n)
         L = self.num_spherical
@@ -78,6 +88,13 @@ class SphericalBasisLayer(nn.Module):
             axis=1)  # (A, L, n)
         rad = rad * norms_t[None]
         ang = legendre_pn_all(cos_alpha, L)  # (A, L)
+        # reference uses m=0 spherical harmonics Y_l (polynom.py:117):
+        # Y_l = sqrt((2l+1)/(4 pi)) P_l(cos theta) — apply the per-l factor
+        import math as _math
+        yl_scale = jnp.asarray(
+            [_math.sqrt((2 * l + 1) / (4 * _math.pi)) for l in range(L)],
+            dtype=ang.dtype)
+        ang = ang * yl_scale[None, :]
         out = rad * ang[:, :, None] * env[:, None, None]
         return out.reshape(-1, L * self.num_radial)
 
@@ -122,16 +139,19 @@ class DimNetInteractionPPBlock(nn.Module):
         x_kj = Dense(self.emb_size, activation=act, kernel_init=init,
                      name="kj")(m)
         x_kj = x_kj * rbf_
-        x_kj = Dense(self.int_emb_size, activation=act, kernel_init=init,
-                     name="down")(x_kj)
-        # directional mixing over angle pairs (e_kj -> e_ji)
+        x_kj = Dense(self.int_emb_size, activation=act, use_bias=False,
+                     kernel_init=init, name="down")(x_kj)
+        # directional mixing over angle pairs: gather the DOWN-projected
+        # messages at adi[:, 1] and aggregate onto adi[:, 0] (reference
+        # dimenet_conv.py: GatherNodesOutgoing + PoolingLocalEdges on the
+        # angle index list)
         e1 = batch.angle_edges[:, 0]
         e2 = batch.angle_edges[:, 1]
-        mix = jnp.take(x_kj, e1, axis=0) * sbf_
+        mix = jnp.take(x_kj, e2, axis=0) * sbf_
         mix = mix * batch.angle_edge_mask[:, None].astype(mix.dtype)
-        agg = segment_sum(mix, e2, batch.n_edge)
-        x_kj = Dense(self.emb_size, activation=act, kernel_init=init,
-                     name="up")(agg)
+        agg = segment_sum(mix, e1, batch.n_edge)
+        x_kj = Dense(self.emb_size, activation=act, use_bias=False,
+                     kernel_init=init, name="up")(agg)
 
         m2 = x_ji + x_kj
         for i in range(self.num_before_skip):
@@ -193,16 +213,16 @@ class DimeNetPP(nn.Module):
                                  envelope_exponent=cfg["envelope_exponent"])
         rbf = rbf * batch.edge_mask[:, None].astype(rbf.dtype)
 
-        # angle geometry per edge pair: cos angle at node j between (j->i), (j->k)
-        # pair (e1, e2): e2 = (recv i, send j), e1 = (recv j, send k);
-        # vec[e] = x_recv - x_send, so v1 = x_i - x_j and v2 = x_k - x_j
+        # angle per edge pair, reference convention (EdgeAngle geom.py:450):
+        # angle between v12[adi0] and v12[adi1] with v12 = x_recv - x_send;
+        # sbf distance gathered at adi[:, 1]
         e1, e2 = batch.angle_edges[:, 0], batch.angle_edges[:, 1]
-        v1 = vec[e2]
-        v2 = -vec[e1]
+        v1 = vec[e1]
+        v2 = vec[e2]
         num = jnp.sum(v1 * v2, axis=-1)
         den = jnp.maximum(jnp.linalg.norm(v1, axis=-1) * jnp.linalg.norm(v2, axis=-1), 1e-12)
         cos_alpha = jnp.clip(num / den, -1.0, 1.0)
-        d_kj = d[e1]
+        d_kj = d[e2]
         sbf = SphericalBasisLayer(cfg["num_spherical"], cfg["num_radial"],
                                   cfg["cutoff"], cfg["envelope_exponent"],
                                   name="sbf")(d_kj, cos_alpha)
@@ -215,8 +235,9 @@ class DimeNetPP(nn.Module):
         h_i = jnp.take(hz, batch.receivers, axis=0)
         h_j = jnp.take(hz, batch.senders, axis=0)
         rbf_emb = Dense(cfg["emb_size"], activation=act, name="embed_rbf")(rbf)
+        # reference concat order: GatherNodes -> [n_i, n_j], then rbf
         m = Dense(cfg["emb_size"], activation=act, name="embed_out")(
-            jnp.concatenate([h_j, h_i, rbf_emb], axis=-1))
+            jnp.concatenate([h_i, h_j, rbf_emb], axis=-1))
 
         out_sum = DimNetOutputBlock(
             cfg["emb_size"], cfg["out_emb_size"], cfg["num_dense_output"],
@@ -238,6 +259,11 @@ class DimeNetPP(nn.Module):
             out = pool_nodes_to_graph(batch, nodes_out, mode=mode)
         else:
             out = nodes_out
+        if cfg.get("use_output_mlp", True) and cfg.get("output_mlp"):
+            out = MLP(cfg["output_mlp"]["units"],
+                      activation=cfg["output_mlp"]["activation"],
+                      use_bias=cfg["output_mlp"].get("use_bias", True),
+                      name="output_mlp")(out)
         return {"output": out}
 
 

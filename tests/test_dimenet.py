@@ -44,11 +44,15 @@ def test_sbf_vs_reference_formula():
     out = np.asarray(layer.apply({}, d, cos_a))
     assert out.shape == (3, 9)
     assert np.isfinite(out).all()
-    # check one entry (l=0, n=0): j_0(z00 * d/c) * norm * P_0 * env
+    # check one entry (l=0, n=0): j_0(z00 * d/c) * norm * Y_0 * env with the
+    # reference's 1/u envelope (dimenet_conv.py envelope()) and the m=0
+    # spherical-harmonics scale sqrt(1/4pi)
     from gcnn_keras_tpu.models.dimenet_pp import _sbf_constants
-    from gcnn_keras_tpu.layers.geometry import polynomial_envelope
     zeros, norms = _sbf_constants(3, 3)
     rho = np.asarray(d) / 5.0
-    expect = spherical_jn(0, zeros[0, 0] * rho) * norms[0, 0] * 1.0 \
-        * np.asarray(polynomial_envelope(jnp.asarray(rho), 5))
+    pe = 6
+    a, b, c = -(pe + 1) * (pe + 2) / 2.0, pe * (pe + 2), -pe * (pe + 1) / 2.0
+    env = 1.0 / rho + a * rho ** (pe - 1) + b * rho ** pe + c * rho ** (pe + 1)
+    y0 = np.sqrt(1.0 / (4.0 * np.pi))
+    expect = spherical_jn(0, zeros[0, 0] * rho) * norms[0, 0] * y0 * env
     assert np.allclose(out[:, 0], expect, atol=1e-4)

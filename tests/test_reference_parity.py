@@ -636,3 +636,132 @@ def test_egnn_matches_reference():
     out = model.apply(params, batch)["output"]
     out = np.asarray(out)[:len(graphs)]
     np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=2e-5)
+
+
+def test_dimenetpp_matches_reference():
+    graphs, weights, ref_out = _load("dimenetpp")
+    for g in graphs:
+        g["node_number"] = g.pop("z").astype(np.int64)
+        g["node_coordinates"] = g["xyz"]
+    batch = batch_graphs(graphs, angle_edge_index_key="angle_indices")
+
+    from gcnn_keras_tpu.models.dimenet_pp import make_model
+    model = make_model(
+        num_blocks=1, emb_size=32, out_emb_size=32, int_emb_size=16,
+        basis_emb_size=4, num_spherical=4, num_radial=5, num_targets=8,
+        output_init="glorot_uniform",
+        input_embedding={"node": {"input_dim": 96, "output_dim": 32}},
+        output_mlp={"units": [16, 1], "activation": ["swish", "linear"],
+                    "use_bias": [True, False]})
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    # w001 = trainable Bessel frequencies at init (n*pi); ours closed-form
+    np.testing.assert_allclose(weights[1], np.arange(1, 6) * np.pi, rtol=1e-6)
+
+    mapping = ["embed_z/embedding", None,
+               "embed_rbf/Dense_0/kernel", "embed_rbf/Dense_0/bias",
+               "embed_out/Dense_0/kernel", "embed_out/Dense_0/bias",
+               "interaction_0/rbf_1/Dense_0/kernel",
+               "interaction_0/rbf_2/Dense_0/kernel",
+               "interaction_0/sbf_1/Dense_0/kernel",
+               "interaction_0/sbf_2/Dense_0/kernel",
+               "interaction_0/ji/Dense_0/kernel",
+               "interaction_0/ji/Dense_0/bias",
+               "interaction_0/kj/Dense_0/kernel",
+               "interaction_0/kj/Dense_0/bias",
+               "interaction_0/down/Dense_0/kernel",
+               "interaction_0/up/Dense_0/kernel",
+               "interaction_0/res_before_0/dense_1/Dense_0/kernel",
+               "interaction_0/res_before_0/dense_1/Dense_0/bias",
+               "interaction_0/res_before_0/dense_2/Dense_0/kernel",
+               "interaction_0/res_before_0/dense_2/Dense_0/bias",
+               "interaction_0/skip/Dense_0/kernel",
+               "interaction_0/skip/Dense_0/bias",
+               "interaction_0/res_after_0/dense_1/Dense_0/kernel",
+               "interaction_0/res_after_0/dense_1/Dense_0/bias",
+               "interaction_0/res_after_0/dense_2/Dense_0/kernel",
+               "interaction_0/res_after_0/dense_2/Dense_0/bias",
+               "interaction_0/res_after_1/dense_1/Dense_0/kernel",
+               "interaction_0/res_after_1/dense_1/Dense_0/bias",
+               "interaction_0/res_after_1/dense_2/Dense_0/kernel",
+               "interaction_0/res_after_1/dense_2/Dense_0/bias"]
+    for ob in ("output_0", "output_1"):
+        mapping += [f"{ob}/rbf/Dense_0/kernel", f"{ob}/up/Dense_0/kernel"]
+        for j in range(3):
+            mapping += [f"{ob}/dense_{j}/Dense_0/kernel",
+                        f"{ob}/dense_{j}/Dense_0/bias"]
+        mapping += [f"{ob}/out/Dense_0/kernel"]
+    mapping += ["output_mlp/dense_0/Dense_0/kernel",
+                "output_mlp/dense_0/Dense_0/bias",
+                "output_mlp/dense_1/Dense_0/kernel"]
+    params = _apply_mapping(params, weights, mapping)
+    out = model.apply(params, batch)["output"]
+    out = np.asarray(out)[:len(graphs)]
+    np.testing.assert_allclose(out, ref_out, rtol=2e-4, atol=1e-4)
+
+
+def test_schnet_crystal_matches_reference():
+    """Periodic SchNet — certifies ShiftPeriodicLattice-equivalent edge
+    vectors through the full crystal model."""
+    graphs, weights, ref_out = _load("schnet_crystal")
+    prepared = []
+    for g in graphs:
+        prepared.append({
+            "node_number": g["z"].astype(np.int64),
+            "node_coordinates": g["xyz"],
+            "edge_indices": g["edge_indices"],
+            "range_image": g["edge_image"].astype(np.int64),
+            "graph_lattice": g["lattice"].astype(np.float32)})
+    batch = batch_graphs(prepared, global_keys=("graph_lattice",))
+
+    from gcnn_keras_tpu.models.schnet import make_crystal_model
+    model = make_crystal_model(depth=2)
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    mapping = ["OptionalInputEmbedding_0/Embed_0/embedding",
+               "embed_to_units/Dense_0/kernel", "embed_to_units/Dense_0/bias"]
+    for i in range(2):
+        p = f"interaction_{i}"
+        mapping += [f"{p}/cfconv/filter_1/Dense_0/kernel",
+                    f"{p}/cfconv/filter_1/Dense_0/bias",
+                    f"{p}/cfconv/filter_2/Dense_0/kernel",
+                    f"{p}/cfconv/filter_2/Dense_0/bias",
+                    f"{p}/pre/Dense_0/kernel",
+                    f"{p}/post_1/Dense_0/kernel", f"{p}/post_1/Dense_0/bias",
+                    f"{p}/post_2/Dense_0/kernel", f"{p}/post_2/Dense_0/bias"]
+    for blk, k in (("last_mlp", 2), ("output_mlp", 2)):
+        for i in range(k):
+            mapping += [f"{blk}/dense_{i}/Dense_0/kernel",
+                        f"{blk}/dense_{i}/Dense_0/bias"]
+    params = _apply_mapping(params, weights, mapping)
+    out = model.apply(params, batch)["output"]
+    out = np.asarray(out)[:len(graphs)]
+    np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=2e-5)
+
+
+def test_gat_matches_reference():
+    graphs, weights, ref_out = _load("gat")
+    for g in graphs:
+        g.pop("z"); g.pop("xyz")
+    batch = batch_graphs(graphs)
+
+    from gcnn_keras_tpu.models.gat import make_model
+    model = make_model(
+        depth=1, attention_heads_num=2, attention_heads_concat=False,
+        attention_args={"units": 32, "use_edge_features": True,
+                        "use_bias": True, "activation": "relu",
+                        "use_final_activation": False},
+        output_mlp={"units": [32, 1], "activation": ["relu", "linear"]})
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    mapping = ["embed_to_units/Dense_0/kernel", "embed_to_units/Dense_0/bias"]
+    for k in range(2):
+        mapping += [f"head_0_{k}/linear_trafo/Dense_0/kernel",
+                    f"head_0_{k}/linear_trafo/Dense_0/bias",
+                    f"head_0_{k}/alpha/Dense_0/kernel"]
+    mapping += ["out_mlp/dense_0/Dense_0/kernel", "out_mlp/dense_0/Dense_0/bias",
+                "out_mlp/dense_1/Dense_0/kernel", "out_mlp/dense_1/Dense_0/bias"]
+    params = _apply_mapping(params, weights, mapping)
+    out = model.apply(params, batch)["output"]
+    out = np.asarray(out)[:len(graphs)]
+    np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=2e-5)
