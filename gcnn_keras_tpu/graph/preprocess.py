@@ -22,26 +22,52 @@ import numpy as np
 def set_range(graph: Dict[str, np.ndarray], max_distance: float = 4.0,
               max_neighbours: int = 15, node_coordinates: str = "node_coordinates",
               do_invert_distance: bool = False, self_loops: bool = False,
-              exclusive: bool = True) -> Dict[str, np.ndarray]:
+              exclusive: bool = True, backend: str = "auto") -> Dict[str, np.ndarray]:
     """Cutoff/kNN neighbor list -> ``range_indices`` (M,2) [receiver, sender]
     + ``range_attributes`` (M,1) distances (``kgcnn/graph/preprocessor.py:255``
-    SetRange). O(N^2) distance matrix like the reference."""
+    SetRange).
+
+    ``backend='auto'`` dispatches large systems to the native C++ cell-list
+    (``native/neighborlist.cpp``, O(N) vs the reference's O(N^2) matrix);
+    ``'numpy'`` forces the dense path; ``'native'`` requires the library.
+    """
     xyz = np.asarray(graph[node_coordinates], dtype=np.float64)
     n = xyz.shape[0]
+
+    use_native = (backend in ("auto", "native") and exclusive
+                  and not self_loops and max_neighbours is not None
+                  and (backend == "native" or n >= 256))
+    if use_native:
+        from ..native import neighbor_list
+        res = neighbor_list(xyz, max_distance, max_neighbours)
+        if res is not None:
+            pairs, d = res
+            attr = (1.0 / np.maximum(d, 1e-12) if do_invert_distance
+                    else d).astype(np.float32)
+            out = dict(graph)
+            out["range_indices"] = pairs
+            out["range_attributes"] = attr[:, None]
+            return out
+        if backend == "native":
+            raise RuntimeError("native neighbor list unavailable "
+                               "(g++ missing and no prebuilt library)")
     diff = xyz[:, None, :] - xyz[None, :, :]
     dist = np.linalg.norm(diff, axis=-1)
     mask = np.ones((n, n), dtype=bool)
-    if not self_loops:
-        np.fill_diagonal(mask, False)
     if exclusive:
-        mask &= dist <= max_distance
-    # cap neighbor count per receiving node
-    if max_neighbours is not None and max_neighbours < n:
+        # reference uses STRICT less-than (graph/adj.py:537 "< max_distance")
+        mask &= dist < max_distance
+    # cap neighbor count per receiving node; the reference keeps
+    # max_neighbours + 1 sorted entries so the self slot (distance 0) does
+    # not eat one of the requested neighbors (graph/adj.py: "+ 1")
+    if max_neighbours is not None and max_neighbours + 1 < n:
         order = np.argsort(dist, axis=1, kind="stable")
         keep = np.zeros_like(mask)
         rows = np.arange(n)[:, None]
-        keep[rows, order[:, :max_neighbours]] = True
+        keep[rows, order[:, :max_neighbours + 1]] = True
         mask &= keep
+    if not self_loops:
+        np.fill_diagonal(mask, False)
     recv, send = np.nonzero(mask)
     d = dist[recv, send]
     attr = (1.0 / np.maximum(d, 1e-12) if do_invert_distance else d).astype(np.float32)
