@@ -81,7 +81,8 @@ def set_range_periodic(graph: Dict[str, np.ndarray], max_distance: float = 4.0,
                        max_neighbours: Optional[int] = None,
                        node_coordinates: str = "node_coordinates",
                        lattice: str = "graph_lattice",
-                       exclusive: bool = True) -> Dict[str, np.ndarray]:
+                       exclusive: bool = True,
+                       backend: str = "auto") -> Dict[str, np.ndarray]:
     """Periodic neighbor list over lattice images
     (``kgcnn/graph/geom.py:172`` range_neighbour_lattice /
     ``preprocessor.py:371`` SetRangePeriodic).
@@ -91,10 +92,30 @@ def set_range_periodic(graph: Dict[str, np.ndarray], max_distance: float = 4.0,
     ``d = x_i - (x_j + s @ L)``), ``range_attributes`` distances.
     Supercell radius is derived from the cutoff and the lattice's plane
     spacings, vectorized over all images at once.
+
+    ``backend='auto'`` dispatches large cells to the native C++ periodic
+    cell-list (avoids this path's O(images * N^2) dense tensor);
+    ``'numpy'`` forces the dense path; ``'native'`` requires the library.
     """
     xyz = np.asarray(graph[node_coordinates], dtype=np.float64)
     lat = np.asarray(graph[lattice], dtype=np.float64)  # rows = lattice vectors
     n = xyz.shape[0]
+
+    use_native = (backend in ("auto", "native") and exclusive
+                  and (backend == "native" or n >= 192))
+    if use_native:
+        from ..native import neighbor_list_periodic
+        res = neighbor_list_periodic(xyz, lat, max_distance, max_neighbours)
+        if res is not None:
+            pairs, imgs, d = res
+            out = dict(graph)
+            out["range_indices"] = pairs
+            out["range_image"] = imgs
+            out["range_attributes"] = d[:, None].astype(np.float32)
+            return out
+        if backend == "native":
+            raise RuntimeError("native neighbor list unavailable "
+                               "(g++ missing and no prebuilt library)")
     # number of images needed along each lattice direction: cutoff / plane distance
     recip = np.linalg.inv(lat).T  # reciprocal rows (no 2 pi)
     spacing = 1.0 / np.maximum(np.linalg.norm(recip, axis=1), 1e-12)

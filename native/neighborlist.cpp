@@ -143,6 +143,144 @@ long long neighbor_list_cell(const double* xyz, long long n, double cutoff,
     return w;
 }
 
+// Periodic variant: senders are replicated over the given lattice-image
+// shifts (computed host-side from cutoff / plane spacings, exactly like the
+// numpy path and the reference's range_neighbour_lattice,
+// kgcnn/graph/geom.py:172). For each receiver i (central cell) it emits all
+// (j, image) with |x_i - (x_j + shift)| <= cutoff, excluding the self pair
+// (j == i in the central image), capped at the max_neighbors closest.
+//
+// capacity is the number of pair slots provided in out_*. Returns the
+// number of pairs written, or -(required) if capacity was insufficient
+// (caller reallocates and retries — used for the unlimited-cap mode).
+long long neighbor_list_periodic(const double* xyz, long long n,
+                                 const double* shifts,
+                                 const long long* images, long long n_img,
+                                 double cutoff, long long max_neighbors,
+                                 long long central_img, long long capacity,
+                                 long long* out_pairs, long long* out_images,
+                                 double* out_dist) {
+    if (n <= 0 || n_img <= 0 || cutoff <= 0.0) return 0;
+    const double c2 = cutoff * cutoff;
+    const long long total = n * n_img;  // replicated sender count
+
+    // replicated sender positions, tagged (j, image)
+    std::vector<double> pos(3 * total);
+    for (long long s = 0; s < n_img; ++s) {
+        const double sx = shifts[3 * s], sy = shifts[3 * s + 1],
+                     sz = shifts[3 * s + 2];
+        for (long long j = 0; j < n; ++j) {
+            const long long t = s * n + j;
+            pos[3 * t] = xyz[3 * j] + sx;
+            pos[3 * t + 1] = xyz[3 * j + 1] + sy;
+            pos[3 * t + 2] = xyz[3 * j + 2] + sz;
+        }
+    }
+
+    // cell grid over the replicated senders
+    double lo[3] = {pos[0], pos[1], pos[2]}, hi[3] = {pos[0], pos[1], pos[2]};
+    for (long long t = 1; t < total; ++t)
+        for (int d = 0; d < 3; ++d) {
+            const double v = pos[3 * t + d];
+            if (v < lo[d]) lo[d] = v;
+            if (v > hi[d]) hi[d] = v;
+        }
+    long long dims[3];
+    for (int d = 0; d < 3; ++d) {
+        dims[d] = (long long)std::floor((hi[d] - lo[d]) / cutoff) + 1;
+        if (dims[d] < 1) dims[d] = 1;
+    }
+    const long long max_cells = 1 << 22;
+    long long ncells = dims[0] * dims[1] * dims[2];
+    const bool use_cells = ncells > 0 && ncells <= max_cells && total > 64;
+
+    std::vector<long long> cell_start, order(total);
+    std::vector<long long> cell_of;
+    if (use_cells) {
+        cell_of.resize(total);
+        cell_start.assign(ncells + 1, 0);
+        for (long long t = 0; t < total; ++t) {
+            long long cx = (long long)((pos[3 * t] - lo[0]) / cutoff);
+            long long cy = (long long)((pos[3 * t + 1] - lo[1]) / cutoff);
+            long long cz = (long long)((pos[3 * t + 2] - lo[2]) / cutoff);
+            if (cx >= dims[0]) cx = dims[0] - 1;
+            if (cy >= dims[1]) cy = dims[1] - 1;
+            if (cz >= dims[2]) cz = dims[2] - 1;
+            cell_of[t] = (cx * dims[1] + cy) * dims[2] + cz;
+            cell_start[cell_of[t] + 1] += 1;
+        }
+        for (long long c = 0; c < ncells; ++c) cell_start[c + 1] += cell_start[c];
+        std::vector<long long> cursor(cell_start.begin(), cell_start.end() - 1);
+        for (long long t = 0; t < total; ++t) order[cursor[cell_of[t]]++] = t;
+    }
+
+    struct Hit { double d2; long long j, img; };
+    std::vector<std::vector<Hit>> per_recv(n);
+
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(dynamic, 8)
+#endif
+    for (long long i = 0; i < n; ++i) {
+        auto& hits = per_recv[i];
+        const double xi = xyz[3 * i], yi = xyz[3 * i + 1], zi = xyz[3 * i + 2];
+        auto consider = [&](long long t) {
+            const long long img = t / n, j = t % n;
+            if (j == i && img == central_img) return;  // self in central cell
+            const double dx = xi - pos[3 * t];
+            const double dy = yi - pos[3 * t + 1];
+            const double dz = zi - pos[3 * t + 2];
+            const double d2 = dx * dx + dy * dy + dz * dz;
+            if (d2 <= c2) hits.push_back({d2, j, img});  // <= like geom.py:172
+        };
+        if (use_cells) {
+            long long cx = (long long)((xi - lo[0]) / cutoff);
+            long long cy = (long long)((yi - lo[1]) / cutoff);
+            long long cz = (long long)((zi - lo[2]) / cutoff);
+            for (long long ox = -1; ox <= 1; ++ox)
+                for (long long oy = -1; oy <= 1; ++oy)
+                    for (long long oz = -1; oz <= 1; ++oz) {
+                        const long long nx = cx + ox, ny = cy + oy, nz = cz + oz;
+                        if (nx < 0 || ny < 0 || nz < 0 || nx >= dims[0] ||
+                            ny >= dims[1] || nz >= dims[2])
+                            continue;
+                        const long long cc = (nx * dims[1] + ny) * dims[2] + nz;
+                        for (long long s = cell_start[cc]; s < cell_start[cc + 1]; ++s)
+                            consider(order[s]);
+                    }
+        } else {
+            for (long long t = 0; t < total; ++t) consider(t);
+        }
+        if (max_neighbors > 0 && (long long)hits.size() > max_neighbors) {
+            std::nth_element(hits.begin(), hits.begin() + max_neighbors,
+                             hits.end(),
+                             [](const Hit& a, const Hit& b) { return a.d2 < b.d2; });
+            hits.resize(max_neighbors);
+        }
+        // deterministic (sender, image) order within each receiver
+        std::sort(hits.begin(), hits.end(), [](const Hit& a, const Hit& b) {
+            return a.j != b.j ? a.j < b.j : a.img < b.img;
+        });
+    }
+
+    long long required = 0;
+    for (long long i = 0; i < n; ++i) required += (long long)per_recv[i].size();
+    if (required > capacity) return -required;
+
+    long long w = 0;
+    for (long long i = 0; i < n; ++i) {
+        for (const Hit& h : per_recv[i]) {
+            out_pairs[2 * w] = i;
+            out_pairs[2 * w + 1] = h.j;
+            out_images[3 * w] = images[3 * h.img];
+            out_images[3 * w + 1] = images[3 * h.img + 1];
+            out_images[3 * w + 2] = images[3 * h.img + 2];
+            out_dist[w] = std::sqrt(h.d2);
+            ++w;
+        }
+    }
+    return w;
+}
+
 int neighbor_list_has_openmp() {
 #if defined(_OPENMP)
     return 1;
