@@ -765,3 +765,49 @@ def test_gat_matches_reference():
     out = model.apply(params, batch)["output"]
     out = np.asarray(out)[:len(graphs)]
     np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=2e-5)
+
+
+def test_attentivefp_matches_reference():
+    graphs, weights, ref_out = _load("attentivefp")
+    for g in graphs:
+        g.pop("z"); g.pop("xyz")
+    batch = batch_graphs(graphs)
+
+    from gcnn_keras_tpu.models.attentivefp import make_model
+    model = make_model(depthato=2, depthmol=2, attention_args={"units": 32},
+                       output_mlp={"units": [16, 1],
+                                   "activation": ["kgcnn>leaky_relu",
+                                                  "linear"]})
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    # reference weight order: node-in Dense; head_0 creates linear_trafo,
+    # alpha_activation, alpha, then fc1, fc2 (attentivefp_conv.py:60-71);
+    # GRU cells are keras-layout (kernel, recurrent_kernel, bias(2,3U))
+    mapping = ["node_in/Dense_0/kernel", "node_in/Dense_0/bias",
+               "head_0/linear_trafo/Dense_0/kernel",
+               "head_0/linear_trafo/Dense_0/bias",
+               "head_0/alpha_activation/Dense_0/kernel",
+               "head_0/alpha_activation/Dense_0/bias",
+               "head_0/alpha/Dense_0/kernel",
+               "head_0/fc1/Dense_0/kernel", "head_0/fc1/Dense_0/bias",
+               "head_0/fc2/Dense_0/kernel", "head_0/fc2/Dense_0/bias",
+               "gru_0/kernel", "gru_0/recurrent_kernel", "gru_0/bias",
+               "head_1/linear_trafo/Dense_0/kernel",
+               "head_1/linear_trafo/Dense_0/bias",
+               "head_1/alpha_activation/Dense_0/kernel",
+               "head_1/alpha_activation/Dense_0/bias",
+               "head_1/alpha/Dense_0/kernel",
+               "gru_1/kernel", "gru_1/recurrent_kernel", "gru_1/bias",
+               "pool_attentive/linear_trafo/Dense_0/kernel",
+               "pool_attentive/linear_trafo/Dense_0/bias",
+               "pool_attentive/alpha/Dense_0/kernel",
+               "pool_attentive/alpha/Dense_0/bias",
+               "pool_attentive/gru/kernel",
+               "pool_attentive/gru/recurrent_kernel",
+               "pool_attentive/gru/bias",
+               "out_mlp/dense_0/Dense_0/kernel", "out_mlp/dense_0/Dense_0/bias",
+               "out_mlp/dense_1/Dense_0/kernel", "out_mlp/dense_1/Dense_0/bias"]
+    params = _apply_mapping(params, weights, mapping)
+    out = model.apply(params, batch)["output"]
+    out = np.asarray(out)[:len(graphs)]
+    np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=2e-5)

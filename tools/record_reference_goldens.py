@@ -193,6 +193,37 @@ def record_gatv2():
     _record_molnet("GATv2", 19, depth=1, attention_heads_num=2)
 
 
+def patch_legacy_activations():
+    """TF 2.21 legacy-keras deserializes string activations like
+    'kgcnn>leaky_relu' to the registered CLASS and then calls it as a
+    function, passing the tensor into __init__ (breaks AttentiveFP/MEGAN in
+    the reference itself). Patch activations.get to return an instance with
+    default config instead."""
+    import tf_keras as ks
+    from tf_keras.src import activations as act_src
+    orig = act_src.get
+
+    def patched(identifier):
+        if isinstance(identifier, str) and identifier.startswith("kgcnn>"):
+            from tf_keras.src.saving.object_registration import \
+                get_custom_objects
+            cls = get_custom_objects().get(identifier)
+            if cls is not None:
+                return cls()
+        return orig(identifier)
+
+    act_src.get = patched
+    ks.activations.get = patched
+
+
+def record_attentivefp():
+    patch_legacy_activations()
+    _record_molnet("AttentiveFP", 31, depthato=2, depthmol=2,
+                   attention_args={"units": 32},
+                   output_mlp={"units": [16, 1], "use_bias": [True, True],
+                               "activation": ["kgcnn>leaky_relu", "linear"]})
+
+
 def record_graphsage():
     _record_molnet("GraphSAGE", 23, depth=2)
 
