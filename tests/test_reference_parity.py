@@ -811,3 +811,50 @@ def test_attentivefp_matches_reference():
     out = model.apply(params, batch)["output"]
     out = np.asarray(out)[:len(graphs)]
     np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=2e-5)
+
+
+def test_hamnet_matches_reference():
+    graphs, weights, ref_out = _load("hamnet")
+    for g in graphs:
+        g.pop("z")
+        g["node_coordinates"] = g.pop("xyz")
+    batch = batch_graphs(graphs)
+
+    from gcnn_keras_tpu.models.hamnet import make_model
+    model = make_model(depth=2,
+                       message_kwargs={"units": 32, "units_edge": 32},
+                       fingerprint_kwargs={"units": 32, "units_attend": 32,
+                                           "depth": 2},
+                       gru_kwargs={"units": 32})
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    mapping = ["node_init/Dense_0/kernel", "node_init/Dense_0/bias",
+               "edge_init/Dense_0/kernel", "edge_init/Dense_0/bias"]
+    for i in range(2):
+        mapping += [f"message_{i}/dense_attend/Dense_0/kernel",
+                    f"message_{i}/dense_attend/Dense_0/bias",
+                    f"message_{i}/dense_align/Dense_0/kernel",
+                    f"message_{i}/dense_align/Dense_0/bias",
+                    f"message_{i}/dense_e/Dense_0/kernel",
+                    f"message_{i}/dense_e/Dense_0/bias",
+                    f"gru_union_{i}/kernel",
+                    f"gru_union_{i}/recurrent_kernel",
+                    f"gru_union_{i}/bias"]
+    mapping += ["fingerprint/vertex2mol/Dense_0/kernel",
+                "fingerprint/vertex2mol/Dense_0/bias"]
+    for t in range(2):
+        mapping += [f"fingerprint/attend_{t}/Dense_0/kernel",
+                    f"fingerprint/attend_{t}/Dense_0/bias",
+                    f"fingerprint/align_{t}/Dense_0/kernel",
+                    f"fingerprint/align_{t}/Dense_0/bias"]
+    for t in range(2):
+        mapping += [f"fingerprint/gru_{t}/kernel",
+                    f"fingerprint/gru_{t}/recurrent_kernel",
+                    f"fingerprint/gru_{t}/bias"]
+    mapping += ["out_mlp/dense_0/Dense_0/kernel", "out_mlp/dense_0/Dense_0/bias",
+                "out_mlp/dense_1/Dense_0/kernel", "out_mlp/dense_1/Dense_0/bias",
+                "out_mlp/dense_2/Dense_0/kernel"]
+    params = _apply_mapping(params, weights, mapping)
+    out = model.apply(params, batch)["output"]
+    out = np.asarray(out)[:len(graphs)]
+    np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=2e-5)

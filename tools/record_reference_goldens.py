@@ -243,3 +243,38 @@ def record_dmpnn():
     model = make_model(depth=2)
     out = model([nodes, ea, ei, rev], training=False)
     save_golden("dmpnn", model, graphs, out)
+
+
+def record_hamnet():
+    """HamNet with featurized node/edge inputs + coordinates
+    (HamNet.py:108-172)."""
+    import tensorflow as tf
+    patch_legacy_activations()
+    from kgcnn.literature.HamNet import make_model
+    tf.keras.utils.set_random_seed(41)
+    graphs, nodes, ea, ei = _molnet_inputs(seed=41)
+    xyz = tf.ragged.constant([g["xyz"] for g in graphs], ragged_rank=1,
+                             inner_shape=(3,))
+    model = make_model(
+        inputs=[
+            {"shape": (None, 8), "name": "node_attributes",
+             "dtype": "float32", "ragged": True},
+            {"shape": (None, 5), "name": "edge_attributes",
+             "dtype": "float32", "ragged": True},
+            {"shape": (None, 2), "name": "edge_indices", "dtype": "int64",
+             "ragged": True},
+            {"shape": (None, 3), "name": "node_coordinates",
+             "dtype": "float32", "ragged": True}],
+        depth=2,
+        message_kwargs={"units": 32, "units_edge": 32},
+        fingerprint_kwargs={"units": 32, "units_attend": 32, "depth": 2},
+        gru_kwargs={"units": 32})
+    out = model([nodes, ea, ei, xyz], training=False)
+    save_golden("hamnet", model, graphs, out)
+
+
+if __name__ == "__main__" and os.environ.get("RECORD_ONLY"):
+    import tensorflow as tf
+    tf.config.set_visible_devices([], "GPU")
+    for fname in os.environ["RECORD_ONLY"].split(","):
+        globals()[f"record_{fname}"]()
