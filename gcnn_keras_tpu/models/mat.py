@@ -1,18 +1,32 @@
-"""MAT — Molecule Attention Transformer (parity: ``kgcnn/literature/MAT.py``;
-layers at ``kgcnn/layers/conv/mat_conv.py:32,110``): dense self-attention on
-PADDED per-graph tensors with adjacency- and distance-matrix attention
-biases (lambda-weighted), like the reference's padded (non-ragged) design —
-which maps directly onto the MXU."""
+"""MAT — Molecule Attention Transformer (parity: ``kgcnn/literature/MAT.py:113-200``;
+layers at ``kgcnn/layers/conv/mat_conv.py:32,110``): pre-norm transformer on
+PADDED per-graph tensors whose attention matrix is a lambda-weighted mix of
+per-feature self-attention, an exp(-d^2) distance matrix and the (feature-
+projected) adjacency matrix — the reference's padded (non-ragged) design,
+which maps directly onto the MXU.
+
+Faithful details (all from ``mat_conv.py``):
+
+- ``MATDistanceMatrix`` uses SQUARED distances, ``exp`` trafo adds 1/eps
+  (1e7) to masked entries before ``exp(-d2)`` and re-masks after.
+- ``MATAttentionHead`` attention is per feature channel:
+  ``qk[g,i,j,f] = q[g,i,f] * k[g,j,f] / units**-0.5`` (the reference
+  divides by the scale, i.e. multiplies by sqrt(units) — kept for parity),
+  masked softmax over ``j``, then
+  ``att = la*qk + ld*dist + ladj*adj`` and
+  ``out[g,i,f] = sum_j att[g,i,j,f] v[g,j,f]``.
+- Heads are independent layers merged by concat (or sum) followed by a
+  bias-free Dense to ``embedding_units``; residuals are pre-norm.
+"""
 from __future__ import annotations
 
-import math
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..batch import GraphBatch, flat_to_padded, padded_to_flat
+from ..batch import GraphBatch, flat_to_padded
 from ..layers.mlp import MLP
 from .common import OptionalInputEmbedding
 from .registry import update_model_kwargs
@@ -20,55 +34,76 @@ from .registry import update_model_kwargs
 Array = jax.Array
 
 model_default = dict(
-    input_embedding={"node": {"input_dim": 95, "output_dim": 64}},
+    name="MAT",
+    input_embedding={"node": {"input_dim": 95, "output_dim": 64},
+                     "edge": {"input_dim": 95, "output_dim": 64}},
+    use_edge_embedding=False,
+    max_atoms=None,
     distance_matrix_kwargs={"trafo": "exp"},
-    attention_kwargs={"units": 64, "lambda_attention": 0.3,
-                      "lambda_distance": 0.3, "num_heads": 8},
-    feed_forward_kwargs={"units": [64, 64], "activation": ["relu", "linear"]},
-    embedding_units=64,
+    attention_kwargs={"units": 8, "lambda_attention": 0.3,
+                      "lambda_distance": 0.3, "lambda_adjacency": None,
+                      "dropout": 0.1, "add_identity": False},
+    feed_forward_kwargs={"units": [32, 32, 32],
+                         "activation": ["relu", "relu", "linear"]},
+    embedding_units=32,
     depth=5,
     heads=8,
     merge_heads="concat",
     verbose=10,
     pooling_kwargs={"pooling_method": "sum"},
     output_embedding="graph",
-    output_mlp={"units": [25, 1], "activation": ["relu", "linear"]},
+    output_to_tensor=True,
+    output_mlp={"use_bias": [True, True, True], "units": [32, 16, 1],
+                "activation": ["relu", "relu", "linear"]},
 )
 
+_EPS_INV = 1e7  # 1 / keras.backend.epsilon()
 
-class MATAttention(nn.Module):
-    """mat_conv.py:110 — attention with molecule structure biases:
-    softmax(QK/sqrt d) weighted by lambda_att + adjacency*lambda_adj +
-    distance*lambda_dist."""
 
-    units: int
-    num_heads: int = 8
+def mat_distance_matrix(xyz: Array, pair_mask: Array,
+                        trafo: Optional[str] = "exp") -> Array:
+    """``MATDistanceMatrix`` (mat_conv.py:32): squared distances with
+    exp/softmax transform. ``xyz (G,M,3)``, ``pair_mask (G,M,M,1)``."""
+    diff = xyz[:, None, :, :] - xyz[:, :, None, :]
+    dist = jnp.sum(diff * diff, axis=-1, keepdims=True)  # (G, M, M, 1)
+    if trafo == "exp":
+        dist = dist + jnp.where(pair_mask > 0, 0.0, _EPS_INV)
+        dist = jnp.exp(-dist)
+    elif trafo == "softmax":
+        dist = dist + jnp.where(pair_mask > 0, 0.0, -_EPS_INV)
+        dist = jax.nn.softmax(dist, axis=2)
+    return dist * pair_mask
+
+
+class MATAttentionHead(nn.Module):
+    """mat_conv.py:110 — one per-feature-channel attention head."""
+
+    units: int = 8
     lambda_attention: float = 0.3
     lambda_distance: float = 0.3
+    lambda_adjacency: Optional[float] = None
+    add_identity: bool = False
 
     @nn.compact
-    def __call__(self, x: Array, mask: Array, adj: Array, dist: Array) -> Array:
-        # x (G, M, F); mask (G, M); adj/dist (G, M, M)
-        H, U = self.num_heads, self.units
-        d_head = max(U // H, 1)
-        q = nn.DenseGeneral((H, d_head), name="q")(x)
-        k = nn.DenseGeneral((H, d_head), name="k")(x)
-        v = nn.DenseGeneral((H, d_head), name="v")(x)
-        logits = jnp.einsum("gihd,gjhd->ghij", q, k) / math.sqrt(d_head)
-        neg = jnp.asarray(-1e9, logits.dtype)
-        m2 = mask[:, None, None, :]
-        logits = jnp.where(m2 > 0, logits, neg)
-        att = jax.nn.softmax(logits, axis=-1)
-        lam_adj = 1.0 - self.lambda_attention - self.lambda_distance
-        # normalize adjacency / distance rows to combine with attention
-        adj_n = adj / jnp.maximum(jnp.sum(adj, axis=-1, keepdims=True), 1e-6)
-        dist_n = dist / jnp.maximum(jnp.sum(dist, axis=-1, keepdims=True), 1e-6)
-        combined = (self.lambda_attention * att
-                    + lam_adj * adj_n[:, None]
-                    + self.lambda_distance * dist_n[:, None])
-        out = jnp.einsum("ghij,gjhd->gihd", combined, v)
-        out = out.reshape(out.shape[0], out.shape[1], H * d_head)
-        return nn.Dense(U, name="o")(out)
+    def __call__(self, h: Array, dist: Array, adj: Array,
+                 h_mask: Array) -> Array:
+        lam_adj = (self.lambda_adjacency if self.lambda_adjacency is not None
+                   else 1.0 - self.lambda_attention - self.lambda_distance)
+        q = nn.Dense(self.units, name="dense_q")(h)
+        k = nn.Dense(self.units, name="dense_k")(h)
+        v = nn.Dense(self.units, name="dense_v")(h) * h_mask
+        # (G, M_i, M_j, F); reference divides by scale = units**-0.5
+        qk = q[:, :, None, :] * k[:, None, :, :] / (self.units ** -0.5)
+        qk_mask = h_mask[:, None, :, :] * h_mask[:, :, None, :]
+        qk = qk + jnp.where(qk_mask > 0, 0.0, -_EPS_INV)
+        qk = jax.nn.softmax(qk, axis=2) * qk_mask
+        if self.add_identity:
+            eye = jnp.eye(adj.shape[1], dtype=adj.dtype)[None, :, :, None]
+            adj = adj + eye
+        att = (self.lambda_attention * qk + self.lambda_distance * dist
+               + lam_adj * adj)
+        hp = jnp.einsum("gijf,gjf->gif", att, v)
+        return hp * h_mask
 
 
 class MAT(nn.Module):
@@ -78,57 +113,76 @@ class MAT(nn.Module):
     def __call__(self, batch: GraphBatch, train: bool = False) -> Dict[str, Array]:
         cfg = self.config
         u = cfg["embedding_units"]
+        att_kwargs = dict(cfg["attention_kwargs"])
+        att_kwargs.pop("dropout", None)
+        heads = att_kwargs.pop("num_heads", None) or cfg["heads"]
+
         x = batch.nodes.get("node_attributes", batch.nodes.get("node_number"))
-        h = OptionalInputEmbedding(**cfg["input_embedding"]["node"])(x)
-        h = nn.Dense(u, name="proj")(h)
+        nd = OptionalInputEmbedding(**cfg["input_embedding"]["node"],
+                                    name="node_embed")(x)
 
-        hp = flat_to_padded(h, batch)               # (G, M, F)
-        mask = flat_to_padded(batch.node_mask.astype(h.dtype), batch)  # (G, M)
-        xyz = flat_to_padded(batch.nodes["node_coordinates"], batch) \
-            if "node_coordinates" in batch.nodes else None
+        n = flat_to_padded(nd, batch)                      # (G, M, F)
+        mask = flat_to_padded(
+            batch.node_mask.astype(n.dtype), batch)        # (G, M)
+        h_mask = mask[:, :, None]                          # (G, M, 1)
+        pair_mask = h_mask[:, None, :, :] * h_mask[:, :, None, :]
 
-        G, M = hp.shape[0], hp.shape[1]
-        # dense adjacency from the edge list
-        adj = jnp.zeros((G, M, M), dtype=h.dtype)
+        G, M = n.shape[0], n.shape[1]
+        if "node_coordinates" in batch.nodes:
+            xyz = flat_to_padded(batch.nodes["node_coordinates"], batch)
+            dist = mat_distance_matrix(
+                xyz, pair_mask, **cfg["distance_matrix_kwargs"])
+        else:
+            dist = jnp.zeros((G, M, M, 1), dtype=n.dtype)
+
+        # dense adjacency from the edge list, carrying edge features
+        # (CastEdgeIndicesToDenseAdjacency, casting.py:106; duplicate edges add)
+        ew = batch.edges.get("edge_weights",
+                             batch.edges.get("edge_attributes"))
+        if ew is None:
+            ew = batch.edge_mask.astype(n.dtype)[:, None]
+        elif ew.ndim == 1:
+            ew = ew[:, None]
+        ew = ew * batch.edge_mask.astype(ew.dtype)[:, None]
         ri = jnp.minimum(batch.node_loc[batch.receivers], M - 1)
         si = jnp.minimum(batch.node_loc[batch.senders], M - 1)
-        w = batch.edge_mask.astype(h.dtype)
-        adj = adj.at[batch.edge_graph_id, ri, si].add(w)
-        # distance matrix (exp transform like the reference default)
-        if xyz is not None:
-            diff = xyz[:, :, None, :] - xyz[:, None, :, :]
-            dmat = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 1e-12))
-            if cfg["distance_matrix_kwargs"].get("trafo") == "exp":
-                dmat = jnp.exp(-dmat)
-            pair_mask = mask[:, :, None] * mask[:, None, :]
-            dmat = dmat * pair_mask
-        else:
-            dmat = adj
+        adj = jnp.zeros((G, M, M, ew.shape[-1]), dtype=n.dtype)
+        adj = adj.at[batch.edge_graph_id, ri, si].add(
+            ew * batch.edge_mask.astype(ew.dtype)[:, None])
+        # feature-wise attention not desired for adjacency (MAT.py:150)
+        adj = nn.Dense(1, use_bias=False, name="adj_proj")(adj)
 
+        h = nn.Dense(u, use_bias=False, name="proj")(n)
         for i in range(cfg["depth"]):
-            a = MATAttention(units=u,
-                             num_heads=cfg["attention_kwargs"]["num_heads"],
-                             lambda_attention=cfg["attention_kwargs"]["lambda_attention"],
-                             lambda_distance=cfg["attention_kwargs"]["lambda_distance"],
-                             name=f"att_{i}")(hp, mask, adj, dmat)
-            hp = nn.LayerNorm(name=f"ln1_{i}")(hp + a)
-            ff = MLP(cfg["feed_forward_kwargs"]["units"],
+            hn = nn.LayerNorm(epsilon=1e-3, name=f"ln1_{i}")(h)
+            hs = [MATAttentionHead(**att_kwargs, name=f"att_{i}_{j}")(
+                hn, dist, adj, h_mask) for j in range(heads)]
+            if cfg["merge_heads"] in ("add", "sum", "reduce_sum"):
+                hu = sum(hs)
+            else:
+                hu = jnp.concatenate(hs, axis=-1)
+            hu = nn.Dense(u, use_bias=False, name=f"merge_{i}")(hu)
+            h = h + hu
+            hn = nn.LayerNorm(epsilon=1e-3, name=f"ln2_{i}")(h)
+            hu = MLP(cfg["feed_forward_kwargs"]["units"],
                      activation=cfg["feed_forward_kwargs"]["activation"],
-                     name=f"ff_{i}")(hp)
-            hp = nn.LayerNorm(name=f"ln2_{i}")(hp + ff)
+                     name=f"ff_{i}")(hn)
+            hu = nn.Dense(u, use_bias=False, name=f"ff_proj_{i}")(hu)
+            h = h + hu * h_mask
 
-        hp = hp * mask[..., None]
+        out = nn.LayerNorm(epsilon=1e-3, name="ln_out")(h)
+        units = cfg["output_mlp"]["units"]
+        use_bias = cfg["output_mlp"].get("use_bias", True)
+        if isinstance(use_bias, (list, tuple)) and len(use_bias) != len(units):
+            use_bias = True
         if cfg["output_embedding"] == "graph":
-            mode = cfg["pooling_kwargs"]["pooling_method"]
-            pooled = jnp.sum(hp, axis=1)
-            if mode == "mean":
-                pooled = pooled / jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1.0)
-            out = MLP(cfg["output_mlp"]["units"],
-                      activation=cfg["output_mlp"]["activation"], name="out_mlp")(pooled)
+            out = out * h_mask
+            out = jnp.sum(out, axis=1)                     # MATGlobalPool sum
+            out = MLP(units, activation=cfg["output_mlp"]["activation"],
+                      use_bias=use_bias, name="out_mlp")(out)
         else:
-            flat = padded_to_flat(hp, batch)
-            out = MLP(cfg["output_mlp"]["units"],
-                      activation=cfg["output_mlp"]["activation"], name="out_mlp")(flat)
+            out = MLP(units, activation=cfg["output_mlp"]["activation"],
+                      use_bias=use_bias, name="out_mlp")(out) * h_mask
         return {"output": out}
 
 

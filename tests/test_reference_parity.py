@@ -858,3 +858,40 @@ def test_hamnet_matches_reference():
     out = model.apply(params, batch)["output"]
     out = np.asarray(out)[:len(graphs)]
     np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=2e-5)
+
+
+def test_mat_matches_reference():
+    graphs, weights, ref_out = _load("mat")
+    for g in graphs:
+        g.pop("z")
+        g["node_coordinates"] = g.pop("xyz")
+    batch = batch_graphs(graphs)
+
+    from gcnn_keras_tpu.models.mat import make_model
+    model = make_model(depth=2, heads=2)
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    mapping = ["proj/kernel",
+               "ln1_0/scale", "ln1_0/bias",
+               "adj_proj/kernel"]
+    for i in range(2):
+        if i > 0:
+            mapping += [f"ln1_{i}/scale", f"ln1_{i}/bias"]
+        for j in range(2):
+            mapping += [f"att_{i}_{j}/dense_q/kernel", f"att_{i}_{j}/dense_q/bias",
+                        f"att_{i}_{j}/dense_k/kernel", f"att_{i}_{j}/dense_k/bias",
+                        f"att_{i}_{j}/dense_v/kernel", f"att_{i}_{j}/dense_v/bias"]
+        mapping += [f"merge_{i}/kernel",
+                    f"ln2_{i}/scale", f"ln2_{i}/bias"]
+        for k in range(3):
+            mapping += [f"ff_{i}/dense_{k}/Dense_0/kernel",
+                        f"ff_{i}/dense_{k}/Dense_0/bias"]
+        mapping += [f"ff_proj_{i}/kernel"]
+    mapping += ["ln_out/scale", "ln_out/bias"]
+    for k in range(3):
+        mapping += [f"out_mlp/dense_{k}/Dense_0/kernel",
+                    f"out_mlp/dense_{k}/Dense_0/bias"]
+    params = _apply_mapping(params, weights, mapping)
+    out = model.apply(params, batch)["output"]
+    out = np.asarray(out)[:len(graphs)]
+    np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=2e-5)

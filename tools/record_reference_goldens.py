@@ -273,6 +273,42 @@ def record_hamnet():
     save_golden("hamnet", model, graphs, out)
 
 
+
+
+def record_mat():
+    """MAT with featurized nodes, coordinates, scalar edge weights
+    (MAT.py:113-200)."""
+    import tensorflow as tf
+    from kgcnn.literature.MAT import make_model
+    tf.keras.utils.set_random_seed(43)
+    rs = np.random.RandomState(43)
+    graphs = fixed_molecules()
+    for g in graphs:
+        g["node_attributes"] = rs.randn(len(g["z"]), 8).astype(np.float32)
+        g["edge_weights"] = rs.rand(len(g["edge_indices"]), 1).astype(np.float32)
+    nodes = tf.ragged.constant([g["node_attributes"] for g in graphs],
+                               ragged_rank=1, inner_shape=(8,))
+    xyz = tf.ragged.constant([g["xyz"] for g in graphs], ragged_rank=1,
+                             inner_shape=(3,))
+    ew = tf.ragged.constant([g["edge_weights"] for g in graphs],
+                            ragged_rank=1, inner_shape=(1,))
+    ei = tf.ragged.constant([g["edge_indices"] for g in graphs],
+                            ragged_rank=1, inner_shape=(2,), dtype="int64")
+    model = make_model(
+        inputs=[
+            {"shape": (None, 8), "name": "node_attributes",
+             "dtype": "float32", "ragged": True},
+            {"shape": (None, 3), "name": "node_coordinates",
+             "dtype": "float32", "ragged": True},
+            {"shape": (None, 1), "name": "edge_weights", "dtype": "float32",
+             "ragged": True},
+            {"shape": (None, 2), "name": "edge_indices", "dtype": "int64",
+             "ragged": True}],
+        depth=2, heads=2)
+    out = model([nodes, xyz, ew, ei], training=False)
+    save_golden("mat", model, graphs, out)
+
+
 if __name__ == "__main__" and os.environ.get("RECORD_ONLY"):
     import tensorflow as tf
     tf.config.set_visible_devices([], "GPU")
