@@ -895,3 +895,55 @@ def test_mat_matches_reference():
     out = model.apply(params, batch)["output"]
     out = np.asarray(out)[:len(graphs)]
     np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=2e-5)
+
+
+def test_megan_matches_reference():
+    graphs, weights, ref_out = _load("megan")
+    d = np.load(os.path.join(ASSETS, "ref_golden_megan.npz"))
+    ref_node_imp, ref_edge_imp = d["out1"], d["out2"]
+    eis = [g["edge_indices"].copy() for g in graphs]
+    for g in graphs:
+        g.pop("z"); g.pop("xyz")
+    batch = batch_graphs(graphs)
+
+    from gcnn_keras_tpu.models.megan import make_model
+    model = make_model(units=[16, 16], importance_channels=2,
+                       importance_units=[8], final_units=[8, 1])
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    mapping = []
+    for i in range(2):
+        for k in range(2):
+            mapping += [f"att_{i}/head_{k}_linear/Dense_0/kernel",
+                        f"att_{i}/head_{k}_linear/Dense_0/bias",
+                        f"att_{i}/head_{k}_alpha_act/Dense_0/kernel",
+                        f"att_{i}/head_{k}_alpha_act/Dense_0/bias",
+                        f"att_{i}/head_{k}_alpha/Dense_0/kernel"]
+    mapping += ["node_imp_0/Dense_0/kernel", "node_imp_0/Dense_0/bias",
+                "node_imp_1/Dense_0/kernel", "node_imp_1/Dense_0/bias",
+                "final_0/Dense_0/kernel", "final_0/Dense_0/bias",
+                "final_1/Dense_0/kernel", "final_1/Dense_0/bias"]
+    params = _apply_mapping(params, weights, mapping)
+    out = model.apply(params, batch)
+    pred = np.asarray(out["output"])[:len(graphs)]
+    np.testing.assert_allclose(pred, ref_out, rtol=1e-4, atol=2e-5)
+
+    # node importances: node order is preserved by the batcher
+    node_imp = np.asarray(out["node_importances"])
+    n_off = 0
+    for gi, g in enumerate(graphs):
+        n = len(g["node_attributes"])
+        np.testing.assert_allclose(node_imp[n_off:n_off + n],
+                                   ref_node_imp[gi, :n], rtol=1e-4, atol=2e-5)
+        n_off += n
+
+    # edge importances: the batcher stably sorts edges by receiver
+    edge_imp = np.asarray(out["edge_importances"])
+    e_off = 0
+    for gi, ei in enumerate(eis):
+        m = len(ei)
+        perm = np.argsort(ei[:, 0], kind="stable")
+        np.testing.assert_allclose(edge_imp[e_off:e_off + m],
+                                   ref_edge_imp[gi, :m][perm],
+                                   rtol=1e-4, atol=2e-5)
+        e_off += m

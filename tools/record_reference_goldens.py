@@ -309,6 +309,25 @@ def record_mat():
     save_golden("mat", model, graphs, out)
 
 
+
+
+def record_megan():
+    """MEGAN subclassed model with importance outputs (MEGAN.py:43-345)."""
+    import tensorflow as tf
+    patch_legacy_activations()
+    from kgcnn.literature.MEGAN import MEGAN
+    tf.keras.utils.set_random_seed(47)
+    graphs, nodes, ea, ei = _molnet_inputs(seed=47)
+    model = MEGAN(units=[16, 16], importance_channels=2,
+                  importance_units=[8], final_units=[8, 1],
+                  use_edge_features=True, return_importances=True)
+    out, node_imp, edge_imp = model([nodes, ea, ei], training=False)
+    payload_graphs = graphs
+    save_golden("megan", model, payload_graphs, [np.asarray(out),
+                np.asarray(node_imp.to_tensor()),
+                np.asarray(edge_imp.to_tensor())])
+
+
 if __name__ == "__main__" and os.environ.get("RECORD_ONLY"):
     import tensorflow as tf
     tf.config.set_visible_devices([], "GPU")
