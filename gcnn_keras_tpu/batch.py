@@ -65,6 +65,16 @@ class GraphBatch:
     # directional message passing (DimeNet): pair (e_kj, e_ji) shares node j.
     angle_edges: Optional[Array] = None
     angle_edge_mask: Optional[Array] = None
+    # optional SECOND edge-pair list (MXMNet uses two pairings, 'jk' and
+    # 'ik' — kgcnn/literature/MXMNet.py:146-149); indexes the primary edges.
+    angle_edges_2: Optional[Array] = None
+    angle_edge_mask_2: Optional[Array] = None
+    # optional SECOND edge set in disjoint indexing (MXMNet's global/range
+    # graph next to the local/bond graph). Sorted by receiver like the
+    # primary set; carries no per-edge property arrays.
+    senders2: Optional[Array] = None
+    receivers2: Optional[Array] = None
+    edge2_mask: Optional[Array] = None
     n_graphs: int = struct.field(pytree_node=False, default=1)
     max_nodes: int = struct.field(pytree_node=False, default=0)
 
@@ -125,6 +135,9 @@ def batch_graphs(
     angle_index_key: str = "angle_indices_nodes",
     angle_edge_index_key: str = "angle_indices",
     n_angle_edge_pad: Optional[int] = None,
+    angle_edge_index_key_2: str = "angle_indices_2",
+    second_edge_index_key: Optional[str] = None,
+    n_edge2_pad: Optional[int] = None,
     global_keys: Sequence[str] = (),
     sort_edges_by_receiver: bool = True,
     np_out: bool = False,
@@ -226,10 +239,15 @@ def batch_graphs(
             return "edge"
         return "global"
 
+    _skip_keys = {edge_index_key, angle_index_key, angle_edge_index_key,
+                  angle_edge_index_key_2}
+    if second_edge_index_key is not None:
+        _skip_keys.add(second_edge_index_key)
+
     kind: Dict[str, str] = {}
     for gi, g in enumerate(graphs):
         for k, v in g.items():
-            if k in (edge_index_key, angle_index_key, angle_edge_index_key):
+            if k in _skip_keys:
                 continue
             if k not in kind:
                 kind[k] = _classify(k, np.asarray(v), counts_n[gi], counts_e[gi])
@@ -239,7 +257,7 @@ def batch_graphs(
     glob_props: Dict[str, List[np.ndarray]] = {}
     for gi, g in enumerate(graphs):
         for k, v in g.items():
-            if k in (edge_index_key, angle_index_key, angle_edge_index_key):
+            if k in _skip_keys:
                 continue
             v = np.asarray(v)
             dest = {"node": node_props, "edge": edge_props,
@@ -277,31 +295,65 @@ def batch_graphs(
                 angle_mask[a_off : a_off + m] = True
             a_off += m
 
-    # Edge-pair angle indices (DimeNet): per-graph local edge positions ->
-    # global positions in the FINAL (sorted) edge order.
-    has_angle_edges = any(angle_edge_index_key in g for g in graphs)
-    angle_edges = None
-    angle_edge_mask = None
-    if has_angle_edges:
-        tot_ae = sum(np.asarray(g[angle_edge_index_key]).shape[0]
-                     for g in graphs if angle_edge_index_key in g)
-        AE = n_angle_edge_pad if n_angle_edge_pad is not None \
-            else bucket_size(max(tot_ae, 1))
+    # Edge-pair angle indices (DimeNet / MXMNet): per-graph local edge
+    # positions -> global positions in the FINAL (sorted) edge order.
+    e_offsets = np.concatenate([[0], np.cumsum(counts_e[:-1])]).astype(np.int64)
+
+    def _build_angle_edges(key: str, pad: Optional[int]):
+        if not any(key in g for g in graphs):
+            return None, None
+        tot_ae = sum(np.asarray(g[key]).shape[0] for g in graphs if key in g)
+        AE = pad if pad is not None else bucket_size(max(tot_ae, 1))
         if AE < tot_ae:
-            raise ValueError(f"n_angle_edge_pad={AE} too small for {tot_ae}")
-        angle_edges = np.full((AE, 2), E - 1, dtype=np.int64)
-        angle_edge_mask = np.zeros((AE,), dtype=bool)
+            raise ValueError(f"angle-edge pad {AE} too small for {tot_ae} ({key})")
+        ae_arr = np.full((AE, 2), E - 1, dtype=np.int64)
+        ae_mask = np.zeros((AE,), dtype=bool)
         ae_off = 0
-        e_offsets = np.concatenate([[0], np.cumsum(counts_e[:-1])]).astype(np.int64)
         for gi, g in enumerate(graphs):
-            if angle_edge_index_key not in g:
+            if key not in g:
                 continue
-            ae = np.asarray(g[angle_edge_index_key], dtype=np.int64)
+            ae = np.asarray(g[key], dtype=np.int64)
             m = ae.shape[0]
             if m:
-                angle_edges[ae_off:ae_off + m] = ae + e_offsets[gi]
-                angle_edge_mask[ae_off:ae_off + m] = True
+                ae_arr[ae_off:ae_off + m] = ae + e_offsets[gi]
+                ae_mask[ae_off:ae_off + m] = True
             ae_off += m
+        return ae_arr, ae_mask
+
+    angle_edges, angle_edge_mask = _build_angle_edges(
+        angle_edge_index_key, n_angle_edge_pad)
+    angle_edges_2, angle_edge_mask_2 = _build_angle_edges(
+        angle_edge_index_key_2, None)
+
+    # Second edge set (e.g. MXMNet's global range graph), disjoint indexing,
+    # its own stable sort by receiver. No per-edge properties ride it.
+    senders2 = receivers2 = edge2_mask = None
+    if second_edge_index_key is not None and \
+            any(second_edge_index_key in g for g in graphs):
+        counts_e2 = [np.asarray(g[second_edge_index_key]).shape[0]
+                     if second_edge_index_key in g else 0 for g in graphs]
+        tot_e2 = sum(counts_e2)
+        E2 = n_edge2_pad if n_edge2_pad is not None else bucket_size(max(tot_e2, 1))
+        if E2 < tot_e2:
+            raise ValueError(f"n_edge2_pad={E2} too small for {tot_e2} edges")
+        senders2 = np.full((E2,), dead_node, dtype=np.int32)
+        receivers2 = np.full((E2,), dead_node, dtype=np.int32)
+        edge2_mask = np.zeros((E2,), dtype=bool)
+        e2_off = 0
+        for gi, g in enumerate(graphs):
+            if second_edge_index_key not in g:
+                continue
+            ei2 = np.asarray(g[second_edge_index_key], dtype=np.int64)
+            m = ei2.shape[0]
+            if m:
+                receivers2[e2_off:e2_off + m] = ei2[:, 0] + offsets[gi]
+                senders2[e2_off:e2_off + m] = ei2[:, 1] + offsets[gi]
+                edge2_mask[e2_off:e2_off + m] = True
+            e2_off += m
+        order2s = np.argsort(receivers2, kind="stable")
+        senders2 = senders2[order2s]
+        receivers2 = receivers2[order2s]
+        edge2_mask = edge2_mask[order2s]
 
     # Sort edges by receiver (stable) so kernels can use sorted-segment paths.
     if sort_edges_by_receiver:
@@ -310,10 +362,13 @@ def batch_graphs(
         receivers = receivers[order]
         edge_mask = edge_mask[order]
         edges = {k: v[order] for k, v in edges.items()}
-        if angle_edges is not None:
+        if angle_edges is not None or angle_edges_2 is not None:
             inv_order = np.empty_like(order)
             inv_order[order] = np.arange(E)
-            angle_edges = inv_order[angle_edges]
+            if angle_edges is not None:
+                angle_edges = inv_order[angle_edges]
+            if angle_edges_2 is not None:
+                angle_edges_2 = inv_order[angle_edges_2]
 
     if sort_edges_by_receiver:
         # slot of each edge within its receiver's group (edges are sorted by
@@ -357,6 +412,11 @@ def batch_graphs(
         angle_mask=conv(angle_mask) if angle_mask is not None else None,
         angle_edges=conv(angle_edges) if angle_edges is not None else None,
         angle_edge_mask=conv(angle_edge_mask) if angle_edge_mask is not None else None,
+        angle_edges_2=conv(angle_edges_2) if angle_edges_2 is not None else None,
+        angle_edge_mask_2=conv(angle_edge_mask_2) if angle_edge_mask_2 is not None else None,
+        senders2=conv(senders2) if senders2 is not None else None,
+        receivers2=conv(receivers2) if receivers2 is not None else None,
+        edge2_mask=conv(edge2_mask) if edge2_mask is not None else None,
         n_graphs=G,
         max_nodes=max_nodes,
     )

@@ -399,3 +399,47 @@ _PREPROCESSORS = {
 
 def get_preprocessor(name: str, **config) -> GraphPreprocessorBase:
     return GraphPreprocessorBase(_PREPROCESSORS[name], **config)
+
+
+def set_angle_pairs_kgcnn(graph: Dict[str, np.ndarray],
+                          range_indices: str = "edge_indices",
+                          edge_pairing: str = "jk",
+                          out_key: str = "angle_indices_1",
+                          allow_self_edges: bool = False,
+                          allow_multi_edges: bool = False,
+                          allow_reverse_edges: bool = False) -> Dict[str, np.ndarray]:
+    """Edge-pair angle list with the reference's ``edge_pairing`` semantics
+    (``kgcnn/graph/adj.py:300`` get_angle_indices; used by MXMNet with
+    pairings 'jk' and 'ik', ``training/hyper/hyper_md17.py`` MXMNet methods).
+
+    For each edge ``n = (i, j)``, pairs it with every edge ``m`` whose
+    ``pos_fix`` index equals the edge's ``pos_ij`` index; ``k`` is taken
+    from ``m``'s ``pos_k`` index. Exact same pair SET as the reference
+    (ordering may differ; all consumers are order-independent segment sums).
+    """
+    ei = np.asarray(graph[range_indices], dtype=np.int64)
+    out = dict(graph)
+    if len(ei) == 0:
+        out[out_key] = np.zeros((0, 2), dtype=np.int64)
+        return out
+    if "k" not in edge_pairing or ("i" not in edge_pairing
+                                   and "j" not in edge_pairing):
+        raise ValueError(f"Invalid edge_pairing {edge_pairing!r}")
+    pos_k = 0 if edge_pairing[0] == "k" else 1
+    pos_fix = 0 if edge_pairing[0] != "k" else 1
+    pos_ij = 0 if "i" in edge_pairing else 1
+
+    n_e = len(ei)
+    # vectorized: match[n, m] = (ei[m, pos_fix] == ei[n, pos_ij])
+    match = ei[None, :, pos_fix] == ei[:, None, pos_ij]
+    if not allow_multi_edges:
+        match &= ~((ei[None, :, 0] == ei[:, None, 0])
+                   & (ei[None, :, 1] == ei[:, None, 1]))
+    if not allow_reverse_edges:
+        match &= ~((ei[None, :, 0] == ei[:, None, 1])
+                   & (ei[None, :, 1] == ei[:, None, 0]))
+    diag = np.arange(n_e)
+    match[diag, diag] = bool(allow_self_edges)
+    n_idx, m_idx = np.nonzero(match)
+    out[out_key] = np.stack([n_idx, m_idx], axis=1).astype(np.int64)
+    return out
