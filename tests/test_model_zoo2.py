@@ -17,12 +17,49 @@ def test_zoo_cmpnn():
          make_mol_batch(with_edge_attr=True))
 
 
+def make_mxmnet_batch(seed=0):
+    """Dual-edge-set batch: local bond graph (primary) + global range graph
+    (second edge set) + the two angle-pair lists the reference preprocesses
+    (edge_pairing 'jk' and 'ik' with allow_self_edges)."""
+    from gcnn_keras_tpu.batch import batch_graphs
+    from gcnn_keras_tpu.graph.preprocess import (
+        set_range, set_angle_pairs_kgcnn)
+    rs = np.random.RandomState(seed)
+    graphs = []
+    for _ in range(2):
+        n = rs.randint(4, 7)
+        g = {"node_number": rs.choice([1, 6, 8], size=n),
+             "node_coordinates": (rs.randn(n, 3) * 1.5).astype(np.float32)}
+        g = set_range(g, max_distance=3.0, max_neighbours=8)
+        g["edge_indices"] = g.pop("range_indices")
+        g = set_range(g, max_distance=6.0, max_neighbours=12)
+        g = set_angle_pairs_kgcnn(g, range_indices="edge_indices",
+                                  edge_pairing="jk",
+                                  out_key="angle_indices_1")
+        g = set_angle_pairs_kgcnn(g, range_indices="edge_indices",
+                                  edge_pairing="ik", allow_self_edges=True,
+                                  out_key="angle_indices_2")
+        graphs.append(g)
+    return batch_graphs(graphs, angle_edge_index_key="angle_indices_1",
+                        angle_edge_index_key_2="angle_indices_2",
+                        second_edge_index_key="range_indices")
+
+
 def test_zoo_mxmnet():
     from gcnn_keras_tpu.models.mxmnet import make_model
-    _run(make_model(depth=2, units=16,
-                    bessel_basis_local={"num_radial": 8, "cutoff": 5.0},
-                    mlp_rbf_kwargs={"units": 16, "activation": "swish"}),
-         make_mol_batch(with_edge_attr=True))
+    _run(make_model(
+        depth=2,
+        input_embedding={"node": {"input_dim": 95, "output_dim": 16}},
+        global_mp_kwargs={"units": 16},
+        local_mp_kwargs={"units": 16, "output_units": 1,
+                         "output_kernel_initializer": "glorot_uniform"},
+        bessel_basis_local={"num_radial": 8, "cutoff": 5.0},
+        bessel_basis_global={"num_radial": 8, "cutoff": 6.0},
+        spherical_basis_local={"num_spherical": 3, "num_radial": 4,
+                               "cutoff": 5.0},
+        mlp_rbf_kwargs={"units": 16, "activation": "swish"},
+        mlp_sbf_kwargs={"units": 16, "activation": "swish"}),
+        make_mxmnet_batch())
 
 
 def test_zoo_hamnet():

@@ -947,3 +947,97 @@ def test_megan_matches_reference():
                                    ref_edge_imp[gi, :m][perm],
                                    rtol=1e-4, atol=2e-5)
         e_off += m
+
+
+def test_mxmnet_matches_reference():
+    """Faithful MXMNet: dual edge sets (local bond + global range graph),
+    two angle-pair lists (edge_pairing 'jk' and 'ik' + self-edges), shared
+    propagate/h_mlp weights, mean-pooled global track."""
+    graphs, weights, ref_out = _load("mxmnet")
+    for g in graphs:
+        g["node_number"] = g.pop("z").astype(np.int64)
+        g["node_coordinates"] = g["xyz"]
+
+    # our preprocessor must reproduce the reference pair lists (as sets)
+    from gcnn_keras_tpu.graph.preprocess import set_angle_pairs_kgcnn
+    for g in graphs:
+        mine1 = set_angle_pairs_kgcnn(
+            {"edge_indices": g["edge_indices"],
+             "node_number": g["node_number"]},
+            range_indices="edge_indices", edge_pairing="jk",
+            out_key="ai1")["ai1"]
+        mine2 = set_angle_pairs_kgcnn(
+            {"edge_indices": g["edge_indices"],
+             "node_number": g["node_number"]},
+            range_indices="edge_indices", edge_pairing="ik",
+            allow_self_edges=True, out_key="ai2")["ai2"]
+        for mine, ref in ((mine1, g["angle_indices_1"]),
+                          (mine2, g["angle_indices_2"])):
+            a = {tuple(r) for r in mine.tolist()}
+            b = {tuple(r) for r in np.asarray(ref).tolist()}
+            assert a == b
+
+    batch = batch_graphs(graphs,
+                         angle_edge_index_key="angle_indices_1",
+                         angle_edge_index_key_2="angle_indices_2",
+                         second_edge_index_key="range_indices")
+
+    from gcnn_keras_tpu.models.mxmnet import make_model
+    model = make_model(
+        depth=2,
+        input_embedding={"node": {"input_dim": 95, "output_dim": 32}},
+        bessel_basis_local={"num_radial": 8, "cutoff": 5.0,
+                            "envelope_exponent": 5},
+        bessel_basis_global={"num_radial": 8, "cutoff": 6.0,
+                             "envelope_exponent": 5},
+        spherical_basis_local={"num_spherical": 3, "num_radial": 4,
+                               "cutoff": 5.0, "envelope_exponent": 5},
+        mlp_rbf_kwargs={"units": 32, "activation": "swish"},
+        mlp_sbf_kwargs={"units": 32, "activation": "swish"},
+        global_mp_kwargs={"units": 32},
+        local_mp_kwargs={"units": 32, "output_units": 1,
+                         "output_kernel_initializer": "glorot_uniform"},
+        output_mlp={"use_bias": [True], "units": [1],
+                    "activation": ["linear"]})
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    # trainable Bessel frequencies at init are n*pi (geom.py:751); ours are
+    # closed-form
+    np.testing.assert_allclose(weights[0], np.arange(1, 9) * np.pi, rtol=1e-6)
+    np.testing.assert_allclose(weights[4], np.arange(1, 9) * np.pi, rtol=1e-6)
+
+    def _d(path):  # raw Dense: kernel+bias
+        return [f"{path}/Dense_0/kernel", f"{path}/Dense_0/bias"]
+
+    def _res(path):  # ResidualLayer: two biased denses
+        return _d(f"{path}/dense_1") + _d(f"{path}/dense_2")
+
+    def _gmp(p):  # MXMGlobalMP weight order (attribute order in __init__)
+        return (_d(f"{p}/h_mlp") + _res(f"{p}/res1") + _res(f"{p}/res2")
+                + _res(f"{p}/res3") + _d(f"{p}/mlp") + _d(f"{p}/x_edge_mlp")
+                + [f"{p}/linear/Dense_0/kernel"])
+
+    def _lmp(p):  # MXMLocalMP weight order
+        return (_d(f"{p}/mlp_kj") + _d(f"{p}/mlp_ji_1") + _d(f"{p}/mlp_ji_2")
+                + _d(f"{p}/mlp_jj")
+                + _d(f"{p}/mlp_sbf1/dense_0") + _d(f"{p}/mlp_sbf1/dense_1")
+                + _d(f"{p}/mlp_sbf2/dense_0") + _d(f"{p}/mlp_sbf2/dense_1")
+                + [f"{p}/lin_rbf1/Dense_0/kernel",
+                   f"{p}/lin_rbf2/Dense_0/kernel"]
+                + _res(f"{p}/res1") + _res(f"{p}/res2") + _res(f"{p}/res3")
+                + [f"{p}/lin_rbf_out/Dense_0/kernel"]
+                + _d(f"{p}/h_mlp")
+                + _d(f"{p}/y_mlp/dense_0") + _d(f"{p}/y_mlp/dense_1")
+                + _d(f"{p}/y_mlp/dense_2") + _d(f"{p}/y_W"))
+
+    mapping = ([None, "embed_z/embedding"]
+               + _d("mlp_rbf_g/dense_0") + [None]
+               + _gmp("global_0")
+               + _d("mlp_rbf_l/dense_0") + _d("mlp_sbf_1/dense_0")
+               + _d("mlp_sbf_2/dense_0")
+               + _lmp("local_0") + _gmp("global_1") + _lmp("local_1")
+               + _d("output_mlp/dense_0"))
+    params = _apply_mapping(params, weights, mapping)
+    out = model.apply(params, batch)["output"]
+    out = np.asarray(out)[:len(graphs)]
+    np.testing.assert_allclose(out, ref_out, rtol=2e-4, atol=1e-4)
