@@ -241,13 +241,20 @@ def batch_graphs(
 
     _skip_keys = {edge_index_key, angle_index_key, angle_edge_index_key,
                   angle_edge_index_key_2}
+    _skip_prefix = None
     if second_edge_index_key is not None:
         _skip_keys.add(second_edge_index_key)
+        # sibling per-edge properties of the second set (e.g.
+        # range_attributes / range_image next to range_indices) cannot ride
+        # the primary edge arrays — the second edge set carries no
+        # property arrays by design.
+        if second_edge_index_key.endswith("_indices"):
+            _skip_prefix = second_edge_index_key[: -len("indices")]
 
     kind: Dict[str, str] = {}
     for gi, g in enumerate(graphs):
         for k, v in g.items():
-            if k in _skip_keys:
+            if k in _skip_keys or (_skip_prefix and k.startswith(_skip_prefix)):
                 continue
             if k not in kind:
                 kind[k] = _classify(k, np.asarray(v), counts_n[gi], counts_e[gi])
@@ -257,7 +264,7 @@ def batch_graphs(
     glob_props: Dict[str, List[np.ndarray]] = {}
     for gi, g in enumerate(graphs):
         for k, v in g.items():
-            if k in _skip_keys:
+            if k in _skip_keys or (_skip_prefix and k.startswith(_skip_prefix)):
                 continue
             v = np.asarray(v)
             dest = {"node": node_props, "edge": edge_props,

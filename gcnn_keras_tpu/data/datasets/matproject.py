@@ -124,3 +124,15 @@ def _specie_z(site: dict) -> int:
     from ...mol.io import SYMBOL_TO_Z
     label = site["species"][0]["element"]
     return SYMBOL_TO_Z[label]
+
+
+class MatBenchDataset2020(MatBenchDataset):
+    """Generic matbench-v0.1 task selected by name (parity:
+    ``kgcnn/data/datasets/MatBenchDataset2020.py``), e.g.
+    ``dataset_name='matbench_mp_e_form'``."""
+
+    def __init__(self, dataset_name: str = "matbench_mp_e_form",
+                 reload: bool = False, **kwargs):
+        self._task = dataset_name
+        self._label_is_class = dataset_name in ("matbench_mp_is_metal",)
+        super().__init__(reload=reload, **kwargs)

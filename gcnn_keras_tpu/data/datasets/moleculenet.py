@@ -142,3 +142,62 @@ class SIDERDataset(MoleculeNetDataset):
                              extract_gz=True, reload=reload)
         super().__init__(data_directory=dl.data_directory, dataset_name="SIDER",
                          file_name="sider.csv", **kwargs)
+
+
+class MoleculeNetDataset2018(MoleculeNetDataset):
+    """Generic named MoleculeNet-2018 collection (parity:
+    ``kgcnn/data/datasets/MoleculeNetDataset2018.py``): ``dataset_name``
+    selects the deepchem CSV and the SMILES/label columns."""
+
+    _TABLE = {
+        "ESOL": ("delaney-processed.csv", "smiles",
+                 "measured log solubility in mols per litre", False),
+        "FreeSolv": ("SAMPL.csv", "smiles", "expt", False),
+        "Lipop": ("Lipophilicity.csv", "smiles", "exp", False),
+        "ClinTox": ("clintox.csv.gz", "smiles", "CT_TOX", True),
+        "Tox21": ("tox21.csv.gz", "smiles", None, True),
+        "SIDER": ("sider.csv.gz", "smiles", None, True),
+        "BACE": ("bace.csv", "mol", "Class", False),
+        "BBBP": ("BBBP.csv", "smiles", "p_np", False),
+        "HIV": ("HIV.csv", "smiles", "HIV_active", False),
+    }
+
+    def __init__(self, dataset_name: str = "ESOL", reload: bool = False,
+                 **kwargs):
+        if dataset_name not in self._TABLE:
+            raise ValueError(f"unknown MoleculeNet2018 set {dataset_name!r}; "
+                             f"known: {sorted(self._TABLE)}")
+        fn, smi, label, is_gz = self._TABLE[dataset_name]
+        url = f"https://deepchemdata.s3-us-west-1.amazonaws.com/datasets/{fn}"
+        dl = DownloadDataset(dataset_name, download_url=url,
+                             download_file_name=fn, extract_gz=is_gz,
+                             reload=reload)
+        super().__init__(data_directory=dl.data_directory,
+                         dataset_name=dataset_name,
+                         file_name=fn[:-3] if is_gz else fn, **kwargs)
+        self._smiles_col = smi
+        self._label_col = label
+
+    def read_in_memory(self, **kwargs):
+        return self.prepare_data(smiles_column_name=self._smiles_col,
+                                 label_column_name=self._label_col)
+
+
+class QM9MolNetDataset(MoleculeNetDataset):
+    """QM9 via the MoleculeNet CSV distribution (parity:
+    ``kgcnn/data/datasets/QM9MolNetDataset.py``): 12 regression targets."""
+
+    _url = "https://deepchemdata.s3-us-west-1.amazonaws.com/datasets/qm9.csv"
+    _targets = ["mu", "alpha", "homo", "lumo", "gap", "r2", "zpve",
+                "u0", "u298", "h298", "g298", "cv"]
+
+    def __init__(self, reload: bool = False, **kwargs):
+        dl = DownloadDataset("QM9MolNet", download_url=self._url,
+                             download_file_name="qm9.csv", reload=reload)
+        super().__init__(data_directory=dl.data_directory,
+                         dataset_name="QM9MolNet", file_name="qm9.csv",
+                         **kwargs)
+
+    def read_in_memory(self, **kwargs):
+        return self.prepare_data(smiles_column_name="smiles",
+                                 label_column_name=self._targets)

@@ -36,6 +36,9 @@ _DATASET_MODULES = {
     "MatProjectLogKVRHDataset": "gcnn_keras_tpu.data.datasets.matproject",
     "MatProjectPerovskitesDataset": "gcnn_keras_tpu.data.datasets.matproject",
     "MatProjectPhononsDataset": "gcnn_keras_tpu.data.datasets.matproject",
+    "MoleculeNetDataset2018": "gcnn_keras_tpu.data.datasets.moleculenet",
+    "QM9MolNetDataset": "gcnn_keras_tpu.data.datasets.moleculenet",
+    "MatBenchDataset2020": "gcnn_keras_tpu.data.datasets.matproject",
     "VgdMockDataset": "gcnn_keras_tpu.data.datasets.vgd",
     "VgdRbMotifsDataset": "gcnn_keras_tpu.data.datasets.vgd",
     "VisualGraphDataset": "gcnn_keras_tpu.data.visual_graph",

@@ -443,3 +443,6 @@ def set_angle_pairs_kgcnn(graph: Dict[str, np.ndarray],
     n_idx, m_idx = np.nonzero(match)
     out[out_key] = np.stack([n_idx, m_idx], axis=1).astype(np.int64)
     return out
+
+
+_PREPROCESSORS["set_angle_pairs_kgcnn"] = set_angle_pairs_kgcnn

@@ -21,31 +21,42 @@ Array = jax.Array
 
 
 class PoolingTopK(nn.Module):
+    """gPool (topk.py:9): score ``n . p / ||p||``, REMOVE ``round(k * n)``
+    lowest-scoring nodes per graph (the reference keeps ``n - round(k n)``,
+    topk.py:97-99), gate survivors by ``sigmoid(score)`` (topk.py:119).
+
+    Masked static-shape equivalent: removed nodes stay as zeroed slots.
+    An optional ``mask`` restricts the current node set (stacked pooling).
+    Returns ``(gated_nodes, keep_mask, scores)``.
+    """
+
     k: float = 0.1
     kernel_initializer: Any = None
 
     @nn.compact
-    def __call__(self, batch: GraphBatch, nodes: Array
-                 ) -> Tuple[Array, Array, Array]:
-        """Returns (gated_nodes, keep_mask, scores)."""
+    def __call__(self, batch: GraphBatch, nodes: Array,
+                 mask: Array = None) -> Tuple[Array, Array, Array]:
         f = nodes.shape[-1]
-        p = self.param("score_kernel", nn.initializers.lecun_normal(), (f, 1))
-        p_norm = p / jnp.maximum(jnp.linalg.norm(p), 1e-12)
-        score = (nodes @ p_norm)[:, 0]  # (N,)
-        score = jnp.where(batch.node_mask, score, -jnp.inf)
+        init = self.kernel_initializer or nn.initializers.glorot_uniform()
+        p = self.param("score_kernel", init, (1, f))
+        p_norm = jnp.maximum(jnp.sqrt(jnp.sum(p * p)), 1e-12)
+        score = (nodes @ p[0]) / p_norm  # (N,)
+        valid = batch.node_mask if mask is None else (mask & batch.node_mask)
 
-        # per-graph rank of each node by score (descending)
-        num_nodes = segment_sum(batch.node_mask.astype(jnp.int32),
+        num_nodes = segment_sum(valid.astype(jnp.int32),
                                 batch.graph_id, batch.n_graphs,
                                 indices_are_sorted=True)
-        keep_counts = jnp.ceil(self.k * num_nodes).astype(jnp.int32)
-        # rank within graph: count of same-graph nodes with strictly higher score
+        n_remove = jnp.round(self.k * num_nodes)
+        # ascending rank among valid same-graph nodes (ties by slot index)
+        big = jnp.where(valid, score, jnp.inf)
         same_graph = batch.graph_id[:, None] == batch.graph_id[None, :]
-        higher = (score[None, :] > score[:, None]) & same_graph
-        rank = jnp.sum(higher, axis=1)
-        keep = (rank < keep_counts[batch.graph_id]) & batch.node_mask
+        idx = jnp.arange(score.shape[0])
+        lower = (big[None, :] < big[:, None]) | (
+            (big[None, :] == big[:, None]) & (idx[None, :] < idx[:, None]))
+        rank = jnp.sum(lower & same_graph & valid[None, :], axis=1)
+        keep = (rank >= n_remove[batch.graph_id]) & valid
 
-        gate = jnp.tanh(score)
+        gate = jax.nn.sigmoid(score)
         gated = nodes * gate[:, None] * keep[:, None].astype(nodes.dtype)
         return gated, keep, score
 

@@ -220,8 +220,12 @@ class DimeNetPP(nn.Module):
         v1 = vec[e1]
         v2 = vec[e2]
         num = jnp.sum(v1 * v2, axis=-1)
-        den = jnp.maximum(jnp.linalg.norm(v1, axis=-1) * jnp.linalg.norm(v2, axis=-1), 1e-12)
-        cos_alpha = jnp.clip(num / den, -1.0, 1.0)
+        # grad-safe norms: padding pairs hold zero vectors and d||v||/dv at
+        # v=0 is NaN, which the later 0-mask cannot remove from the
+        # backward pass (0 * NaN = NaN)
+        nv1 = jnp.sqrt(jnp.maximum(jnp.sum(v1 * v1, axis=-1), 1e-12))
+        nv2 = jnp.sqrt(jnp.maximum(jnp.sum(v2 * v2, axis=-1), 1e-12))
+        cos_alpha = jnp.clip(num / (nv1 * nv2), -1.0, 1.0)
         d_kj = d[e2]
         sbf = SphericalBasisLayer(cfg["num_spherical"], cfg["num_radial"],
                                   cfg["cutoff"], cfg["envelope_exponent"],

@@ -238,10 +238,12 @@ class MXMNet(nn.Module):
             if flip:
                 v2 = -v2
             num = jnp.sum(v1 * v2, axis=-1)
-            den = jnp.maximum(
-                jnp.linalg.norm(v1, axis=-1) * jnp.linalg.norm(v2, axis=-1),
-                1e-12)
-            return jnp.clip(num / den, -1.0, 1.0)
+            # guarded norms: padding pairs reference zero vectors, and
+            # d||v||/dv at v=0 is NaN which survives the later 0-mask in
+            # the backward pass (0 * NaN = NaN) — grad-safe sqrt(max(., eps))
+            n1 = jnp.sqrt(jnp.maximum(jnp.sum(v1 * v1, axis=-1), 1e-12))
+            n2 = jnp.sqrt(jnp.maximum(jnp.sum(v2 * v2, axis=-1), 1e-12))
+            return jnp.clip(num / (n1 * n2), -1.0, 1.0)
 
         sph = cfg["spherical_basis_local"]
         sbl = SphericalBasisLayer(

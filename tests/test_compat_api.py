@@ -84,3 +84,45 @@ def test_lstm_pooling():
     out = layer.apply(params, b, b.edges["edge_attributes"])
     assert out.shape == (b.n_node, 8)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pooling_topk_reference_semantics():
+    """gPool removes round(k*N) LOWEST-scoring nodes and gates survivors
+    by sigmoid(score) (reference kgcnn/layers/pool/topk.py:97-119)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from gcnn_keras_tpu.batch import batch_graphs
+    from gcnn_keras_tpu.layers.pool.topk import PoolingTopK
+
+    rs = np.random.RandomState(0)
+    graphs = []
+    for n in (5, 7):
+        ei = np.array([[i, j] for i in range(n) for j in range(n) if i != j])
+        graphs.append({"node_attributes": rs.randn(n, 4).astype(np.float32),
+                       "edge_indices": ei})
+    batch = batch_graphs(graphs)
+    layer = PoolingTopK(k=0.3)
+    feats = batch.nodes["node_attributes"]
+    params = layer.init(jax.random.PRNGKey(1), batch, feats)
+    gated, keep, score = layer.apply(params, batch, feats)
+
+    p = np.asarray(params["params"]["score_kernel"])[0]
+    score_np = np.asarray(feats) @ (p / np.linalg.norm(p))
+    keep = np.asarray(keep)
+    gated = np.asarray(gated)
+    off = 0
+    for g in graphs:
+        n = len(g["node_attributes"])
+        s = score_np[off:off + n]
+        n_remove = int(np.round(0.3 * n))
+        removed = np.argsort(s)[:n_remove]
+        exp_keep = np.ones(n, bool)
+        exp_keep[removed] = False
+        np.testing.assert_array_equal(keep[off:off + n], exp_keep)
+        exp = np.asarray(feats)[off:off + n] * \
+            (exp_keep * (1 / (1 + np.exp(-s))))[:, None]
+        np.testing.assert_allclose(gated[off:off + n], exp, rtol=1e-5,
+                                   atol=1e-6)
+        off += n
+    assert not keep[off:].any()

@@ -137,3 +137,116 @@ def test_hdnnp4th_energy_force_with_esp_coupling():
     assert out["force"].shape == (8, 3)
     assert np.isfinite(np.asarray(out["force"])).all()
     assert "charge" in out
+
+
+def test_mxmnet_energy_force():
+    """MXMNet.EnergyForceModel (reference hyper_md17_revised.py MXMNet
+    entry): forces from one reverse pass through BOTH edge sets, the two
+    spherical-basis mixings, and the Bessel bases — checked against the
+    numerical gradient of the total energy."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from gcnn_keras_tpu.model.force import EnergyForceModel
+    from gcnn_keras_tpu.models.mxmnet import make_model
+    from tests.test_model_zoo2 import make_mxmnet_batch
+
+    b = make_mxmnet_batch(seed=3)
+    model = make_model(
+        depth=1,
+        input_embedding={"node": {"input_dim": 95, "output_dim": 16}},
+        global_mp_kwargs={"units": 16},
+        local_mp_kwargs={"units": 16, "output_units": 1,
+                         "output_kernel_initializer": "glorot_uniform"},
+        bessel_basis_local={"num_radial": 4, "cutoff": 5.0},
+        bessel_basis_global={"num_radial": 4, "cutoff": 6.0},
+        spherical_basis_local={"num_spherical": 2, "num_radial": 2,
+                               "cutoff": 5.0},
+        mlp_rbf_kwargs={"units": 16, "activation": "swish"},
+        mlp_sbf_kwargs={"units": 16, "activation": "swish"})
+    params = model.init(jax.random.PRNGKey(0), b)
+    fmodel = EnergyForceModel(model)
+    out = fmodel.apply(params, b)
+    force = np.asarray(out["force"])
+    assert np.isfinite(force[np.asarray(b.node_mask)]).all()
+
+    def total_energy(coords):
+        bb = b.replace_nodes(node_coordinates=coords)
+        e = model.apply(params, bb)["output"]
+        return float(jnp.sum(e[:2]))
+
+    coords = np.asarray(b.nodes["node_coordinates"]).copy()
+    eps = 1e-3
+    for (i, d) in [(0, 0), (1, 2), (4, 1)]:
+        cp = coords.copy(); cp[i, d] += eps
+        cm = coords.copy(); cm[i, d] -= eps
+        num = (total_energy(jnp.asarray(cp))
+               - total_energy(jnp.asarray(cm))) / (2 * eps)
+        assert abs(-num - force[i, d]) < 5e-2 * max(1.0, abs(num)), (i, d)
+
+
+def test_angle_model_gradients_finite_with_padding():
+    """NaN-gradient regression: padding angle pairs reference zero edge
+    vectors; d||v||/dv at v=0 is NaN and survives output masking in the
+    backward pass. Both angle models must produce finite parameter AND
+    coordinate gradients on padded batches."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tests.test_model_zoo2 import make_mxmnet_batch
+    from gcnn_keras_tpu.model.force import EnergyForceModel
+
+    def check(model, batch):
+        params = model.init(jax.random.PRNGKey(0), batch)
+
+        def loss(p, coords):
+            bb = batch.replace_nodes(node_coordinates=coords)
+            out = EnergyForceModel(model).apply(p, bb)
+            gm = batch.globals["graph_mask"].astype(jnp.float32)
+            e = jnp.sum(jnp.abs(out["energy"][:, 0]) * gm)
+            f = jnp.sum(jnp.abs(out["force"])
+                        * batch.node_mask[:, None].astype(jnp.float32))
+            return e + f
+
+        g_p, g_c = jax.grad(loss, argnums=(0, 1))(
+            params, batch.nodes["node_coordinates"])
+        for leaf in jax.tree.leaves(g_p):
+            assert np.isfinite(np.asarray(leaf)).all()
+        assert np.isfinite(np.asarray(g_c)).all()
+
+    b = make_mxmnet_batch(seed=5)
+    from gcnn_keras_tpu.models.mxmnet import make_model as make_mxm
+    check(make_mxm(
+        depth=1, input_embedding={"node": {"input_dim": 95, "output_dim": 16}},
+        global_mp_kwargs={"units": 16},
+        local_mp_kwargs={"units": 16, "output_units": 1,
+                         "output_kernel_initializer": "glorot_uniform"},
+        bessel_basis_local={"num_radial": 4, "cutoff": 5.0},
+        bessel_basis_global={"num_radial": 4, "cutoff": 6.0},
+        spherical_basis_local={"num_spherical": 2, "num_radial": 2,
+                               "cutoff": 5.0},
+        mlp_rbf_kwargs={"units": 16, "activation": "swish"},
+        mlp_sbf_kwargs={"units": 16, "activation": "swish"}), b)
+
+    # DimeNetPP on the same geometry with a single angle-pair list
+    import numpy as np
+    from gcnn_keras_tpu.batch import batch_graphs
+    from gcnn_keras_tpu.graph.preprocess import (set_range,
+                                                 set_angle_pairs_kgcnn)
+    rs = np.random.RandomState(2)
+    graphs = []
+    for _ in range(2):
+        n = rs.randint(4, 6)
+        g = {"node_number": rs.choice([1, 6, 8], size=n),
+             "node_coordinates": (rs.randn(n, 3) * 1.5).astype(np.float32)}
+        g = set_range(g, max_distance=4.0, max_neighbours=8)
+        g["edge_indices"] = g.pop("range_indices")
+        g = set_angle_pairs_kgcnn(g, range_indices="edge_indices",
+                                  edge_pairing="kj",
+                                  out_key="angle_indices")
+        graphs.append(g)
+    b2 = batch_graphs(graphs, angle_edge_index_key="angle_indices")
+    from gcnn_keras_tpu.models.dimenet_pp import make_model as make_dime
+    check(make_dime(num_blocks=1, emb_size=16, out_emb_size=16,
+                    int_emb_size=8, basis_emb_size=4, num_spherical=2,
+                    num_radial=3, output_init="glorot_uniform"), b2)

@@ -1041,3 +1041,31 @@ def test_mxmnet_matches_reference():
     out = model.apply(params, batch)["output"]
     out = np.asarray(out)[:len(graphs)]
     np.testing.assert_allclose(out, ref_out, rtol=2e-4, atol=1e-4)
+
+
+def test_unet_matches_reference():
+    """Graph U-Net: dense padded-adjacency rebuild of gPool/unpool/A^2 —
+    remove-round(k*N)-lowest scoring, sigmoid gate, presence-mean GCN."""
+    graphs, weights, ref_out = _load("unet")
+    for g in graphs:
+        g.pop("z", None)
+        g.pop("xyz", None)
+    batch = batch_graphs(graphs)
+
+    from gcnn_keras_tpu.models.unet import make_model
+    model = make_model(depth=2)
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    mapping = ["proj/Dense_0/kernel", "proj/Dense_0/bias",
+               "down_0/Dense_0/kernel", "down_0/Dense_0/bias",
+               "topk_0_score",
+               "down_1/Dense_0/kernel", "down_1/Dense_0/bias",
+               "topk_1_score",
+               "up_1/Dense_0/kernel", "up_1/Dense_0/bias",
+               "up_0/Dense_0/kernel", "up_0/Dense_0/bias",
+               "out_mlp/dense_0/Dense_0/kernel", "out_mlp/dense_0/Dense_0/bias",
+               "out_mlp/dense_1/Dense_0/kernel"]
+    params = _apply_mapping(params, weights, mapping)
+    out = model.apply(params, batch)["output"]
+    out = np.asarray(out)[:len(graphs)]
+    np.testing.assert_allclose(out, ref_out, rtol=2e-4, atol=1e-4)

@@ -69,9 +69,28 @@ def main():
             0.0, 1e-3, warmup, max(total_steps, warmup + 1)))
 
     # preprocessing: neighbor lists
-    ds.map_list("set_range", max_distance=4.0, max_neighbours=15)
-    for g in ds:
-        g["edge_indices"] = g["range_indices"]
+    extra_batch_kwargs = {}
+    if args.model == "MXMNet":
+        # MXMNet multiplex graphs (reference hyper_md17_revised.py MXMNet
+        # methods): short-cutoff LOCAL bond graph -> edge_indices, wider
+        # GLOBAL range graph -> range_indices (second edge set), plus the
+        # two angle-pair lists over the local edges.
+        ds.map_list("set_range", max_distance=2.0, max_neighbours=12)
+        for g in ds:
+            g["edge_indices"] = g.pop("range_indices")
+        ds.map_list("set_range", max_distance=4.0, max_neighbours=25)
+        ds.map_list("set_angle_pairs_kgcnn", range_indices="edge_indices",
+                    edge_pairing="jk", out_key="angle_indices_1")
+        ds.map_list("set_angle_pairs_kgcnn", range_indices="edge_indices",
+                    edge_pairing="ik", allow_self_edges=True,
+                    out_key="angle_indices_2")
+        extra_batch_kwargs = dict(angle_edge_index_key="angle_indices_1",
+                                  angle_edge_index_key_2="angle_indices_2",
+                                  second_edge_index_key="range_indices")
+    else:
+        ds.map_list("set_range", max_distance=4.0, max_neighbours=15)
+        for g in ds:
+            g["edge_indices"] = g["range_indices"]
 
     # split + scaler (fit on train only)
     rs = np.random.RandomState(args.seed)
@@ -86,7 +105,8 @@ def main():
 
     hint = train.batch_shape_hint(args.batch_size)
     loader = GraphBatchLoader(list(train), args.batch_size, shuffle=True,
-                              seed=args.seed, global_keys=("energy",), **hint)
+                              seed=args.seed, global_keys=("energy",),
+                              **hint, **extra_batch_kwargs)
     fmodel = EnergyForceModel(energy_model)
     first = next(iter(loader))
     params = fmodel.init(jax.random.PRNGKey(args.seed), first)
@@ -106,7 +126,8 @@ def main():
         updates, s = optimizer.update(grads, s, p)
         return optax.apply_updates(p, updates), s, l, m
 
-    test_batch = test.to_batch(global_keys=("energy",))
+    test_batch = test.to_batch(global_keys=("energy",),
+                               **extra_batch_kwargs)
     hist = {"loss": [], "val_energy_mae": [], "val_force_mae": []}
     t0 = time.perf_counter()
     for epoch in range(args.epochs):
