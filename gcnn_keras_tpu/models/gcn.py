@@ -68,3 +68,60 @@ class GCN(nn.Module):
 def make_model(**kwargs) -> GCN:
     cfg = update_model_kwargs(model_default, kwargs)
     return GCN(config=cfg)
+
+
+model_default_weighted = dict(
+    input_embedding={"node": {"input_dim": 95, "output_dim": 64}},
+    gcn_args={"units": 100, "activation": "relu", "pooling_method": "sum"},
+    depth=3,
+    output_embedding="graph",
+    output_mlp={"units": [25, 10, 1],
+                "activation": ["relu", "relu", "sigmoid"]},
+    node_key="node_attributes",
+    edge_weight_key="edge_weights",
+    node_weight_key="node_weights",
+)
+
+
+class GCNWeighted(nn.Module):
+    """Weighted GCN (parity: ``kgcnn/literature/GCN.py:132``
+    make_model_weighted): same conv stack, but the graph readout is a
+    node-weight-weighted sum (reference ``PoolingWeightedNodes``) using
+    ``nodes['node_weights']`` (e.g. a node mask or per-node weights)."""
+    config: Dict[str, Any]
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, train: bool = False) -> Dict[str, Array]:
+        cfg = self.config
+        emb_cfg = cfg["input_embedding"]["node"]
+        x = batch.nodes.get(cfg["node_key"], batch.nodes.get("node_number"))
+        h = OptionalInputEmbedding(**emb_cfg)(x)
+        ew = batch.edges[cfg["edge_weight_key"]]
+        if ew.ndim == 1:
+            ew = ew[:, None]
+        nw = batch.nodes[cfg["node_weight_key"]]
+        if nw.ndim == 1:
+            nw = nw[:, None]
+        from ..layers.mlp import Dense, MLP
+        h = Dense(cfg["gcn_args"]["units"], activation="linear",
+                  name="embed_to_units")(h)
+        for i in range(cfg["depth"]):
+            h = GCNConv(**cfg["gcn_args"], name=f"gcn_{i}")(batch, h, ew)
+        out_cfg = cfg["output_mlp"]
+        if cfg["output_embedding"] == "graph":
+            from ..layers.aggr import pool_nodes_to_graph
+            # PoolingWeightedNodes: multiply by node weights, then MEAN per
+            # graph (reference default, kgcnn/layers/pooling.py:245)
+            hw = h * nw * batch.node_mask[:, None].astype(h.dtype)
+            out = pool_nodes_to_graph(batch, hw, pooling_method="mean")
+            out = MLP(out_cfg["units"], activation=out_cfg["activation"],
+                      use_bias=out_cfg.get("use_bias", True), name="output")(out)
+        else:  # node
+            out = MLP(out_cfg["units"], activation=out_cfg["activation"],
+                      use_bias=out_cfg.get("use_bias", True), name="output")(h)
+        return {"output": out}
+
+
+def make_model_weighted(**kwargs) -> GCNWeighted:
+    cfg = update_model_kwargs(model_default_weighted, kwargs)
+    return GCNWeighted(config=cfg)

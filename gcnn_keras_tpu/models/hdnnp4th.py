@@ -116,6 +116,105 @@ def make_model(**kwargs) -> HDNNP4th:
     return make_model_behler(**kwargs)
 
 
+model_default_rep = dict(
+    g2_kwargs=model_default_behler["g2_kwargs"],
+    g4_kwargs=model_default_behler["g4_kwargs"],
+)
+
+
+class HDNNP4thRep(nn.Module):
+    """Pure ACSF-representation model (parity: ``kgcnn/literature/
+    HDNNP4th.py:315`` make_model_rep): concat(G2, G4) per node, no learned
+    parameters. Used to precompute symmetry functions once per dataset so
+    the learnable part (``make_model_learn``) can train without recomputing
+    the angular sums every step."""
+    config: Dict[str, Any]
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, train: bool = False) -> Dict[str, Array]:
+        cfg = self.config
+        z = batch.nodes["node_number"].astype(jnp.int32)
+        rep_g2 = ACSFG2(**ACSFG2.make_param_table(**cfg["g2_kwargs"]),
+                        name="acsf_g2")(batch, z=z)
+        rep_g4 = ACSFG4(**ACSFG4.make_param_table(**cfg["g4_kwargs"]),
+                        name="acsf_g4")(batch, z=z)
+        rep = jnp.concatenate([rep_g2, rep_g4], axis=-1)
+        return {"output": rep, "rep": rep}
+
+
+def make_model_rep(**kwargs) -> HDNNP4thRep:
+    cfg = update_model_kwargs(model_default_rep, kwargs)
+    return HDNNP4thRep(config=cfg)
+
+
+model_default_learn = dict(
+    normalize_kwargs={},
+    mlp_charge_kwargs=model_default_behler["mlp_charge_kwargs"],
+    mlp_local_kwargs=model_default_behler["mlp_local_kwargs"],
+    cent_kwargs={},
+    electrostatic_kwargs={"param_trainable": False},
+    qmmm_kwargs={},
+    node_pooling_args={"pooling_method": "sum"},
+    output_embedding="graph",
+    use_output_mlp=False,
+    output_mlp={"units": [64, 1], "activation": ["swish", "linear"]},
+)
+
+
+class HDNNP4thLearn(nn.Module):
+    """Learnable half of the rep/learn split (parity: ``kgcnn/literature/
+    HDNNP4th.py:337`` make_model_learn): consumes a precomputed symmetry-
+    function representation ``nodes['rep']`` plus ``nodes['esp']`` and runs
+    concat(rep, esp) -> optional BatchNorm -> RelationalMLP chi ->
+    chi + esp -> CENT solve + electrostatics -> QM/MM -> concat(rep_esp, q)
+    -> RelationalMLP local energies -> sum-pool ->
+    E = E_short + E_elec + E_qmmm (reference ``:420-432``)."""
+    config: Dict[str, Any]
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, train: bool = False) -> Dict[str, Array]:
+        cfg = self.config
+        z = batch.nodes["node_number"].astype(jnp.int32)
+        rep = batch.nodes["rep"]
+        esp = batch.nodes.get("esp")
+        if esp is None:
+            esp = jnp.zeros((batch.n_node,), dtype=rep.dtype)
+        esp = esp.reshape(batch.n_node, -1)[:, 0]
+
+        rep_esp = jnp.concatenate([rep, esp[:, None]], axis=-1)
+        if cfg.get("normalize_kwargs"):
+            rep_esp = GraphBatchNorm(**cfg["normalize_kwargs"], name="norm")(
+                rep_esp, batch.node_mask, use_running_average=not train)
+
+        chi = RelationalMLP(**cfg["mlp_charge_kwargs"], name="mlp_charge")(rep_esp, z)
+        chi_and_esp = chi[:, 0] + esp
+
+        q, e_elec = CENTChargePlusElectrostaticEnergy(
+            **{**cfg["cent_kwargs"],
+               "param_trainable": cfg["electrostatic_kwargs"].get("param_trainable", False)},
+            name="cent_electrostatic")(batch, chi_and_esp)
+        e_qmmm = electrostatic_qmmm_energy(batch, q, esp)
+
+        rep_charge = jnp.concatenate([rep_esp, q[:, None]], axis=-1)
+        local_e = RelationalMLP(**cfg["mlp_local_kwargs"], name="mlp_local")(rep_charge, z)
+        local_e = local_e * batch.node_mask[:, None].astype(local_e.dtype)
+        e_short = pool_nodes_to_graph(batch, local_e, **cfg["node_pooling_args"])
+
+        e_total = e_short + e_elec + e_qmmm
+        if cfg["use_output_mlp"]:
+            e_total = MLP(cfg["output_mlp"]["units"],
+                          activation=cfg["output_mlp"]["activation"],
+                          name="output_mlp")(e_total)
+        return {"charge": q, "output": e_total,
+                "electrostatic_energy": e_elec, "qmmm_energy": e_qmmm,
+                "short_range_energy": e_short}
+
+
+def make_model_learn(**kwargs) -> HDNNP4thLearn:
+    cfg = update_model_kwargs(model_default_learn, kwargs)
+    return HDNNP4thLearn(config=cfg)
+
+
 def make_model_behler_charge_separat(**kwargs) -> Tuple[HDNNP4th, HDNNP4th]:
     """Two-model variant (HDNNP4th.py:192): one model trained for charges,
     one for energies. Returns (charge_model, energy_model) sharing config."""

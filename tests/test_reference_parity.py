@@ -1069,3 +1069,88 @@ def test_unet_matches_reference():
     out = model.apply(params, batch)["output"]
     out = np.asarray(out)[:len(graphs)]
     np.testing.assert_allclose(out, ref_out, rtol=2e-4, atol=1e-4)
+
+
+def test_gcn_weighted_matches_reference():
+    graphs, weights, ref_out = _load("gcn_weighted")
+    for g in graphs:
+        g.pop("z"); g.pop("xyz")
+    batch = batch_graphs(graphs)
+
+    from gcnn_keras_tpu.models.gcn import make_model_weighted
+    model = make_model_weighted(
+        depth=3,
+        gcn_args={"units": 100, "activation": "relu", "pooling_method": "sum"},
+        output_mlp={"units": [25, 10, 1],
+                    "activation": ["relu", "relu", "sigmoid"],
+                    "use_bias": [True, True, False]})
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    mapping = ["embed_to_units/Dense_0/kernel", "embed_to_units/Dense_0/bias"]
+    for i in range(3):
+        mapping += [f"gcn_{i}/Dense_0/Dense_0/kernel",
+                    f"gcn_{i}/Dense_0/Dense_0/bias"]
+    mapping += ["output/dense_0/Dense_0/kernel", "output/dense_0/Dense_0/bias",
+                "output/dense_1/Dense_0/kernel", "output/dense_1/Dense_0/bias",
+                "output/dense_2/Dense_0/kernel"]
+    params = _apply_mapping(params, weights, mapping)
+    out = model.apply(params, batch)["output"]
+    out = np.asarray(out)[:len(graphs)]
+    np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=2e-5)
+
+
+def test_hdnnp4th_rep_matches_reference():
+    graphs, _, _ = _load("hdnnp4th_rep")
+    ref_rep = [g.pop("rep") for g in graphs]
+    for g in graphs:
+        g["node_number"] = g.pop("z").astype(np.int64)
+        g["node_coordinates"] = g["xyz"]
+    batch = batch_graphs(graphs, global_keys=("total_charge",))
+
+    from gcnn_keras_tpu.models.hdnnp4th import make_model_rep
+    model = make_model_rep(
+        g2_kwargs={"eta": [0.0, 0.3], "rs": [0.0, 3.0], "rc": 10.0,
+                   "elements": [1, 6, 8]},
+        g4_kwargs={"eta": [0.0, 0.3], "lamda": [-1.0, 1.0], "rc": 6.0,
+                   "zeta": [1.0, 8.0], "elements": [1, 6, 8],
+                   "multiplicity": 2.0})
+    params = model.init(jax.random.PRNGKey(0), batch)
+    rep = np.asarray(model.apply(params, batch)["output"])
+    gid = np.asarray(batch.graph_id)
+    nm = np.asarray(batch.node_mask)
+    for i, r in enumerate(ref_rep):
+        np.testing.assert_allclose(rep[nm & (gid == i)], r,
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_hdnnp4th_learn_matches_reference():
+    graphs, weights, ref_out = _load("hdnnp4th_learn")
+    for g in graphs:
+        g["node_number"] = g.pop("z").astype(np.int64)
+        g["node_coordinates"] = g["xyz"]
+    batch = batch_graphs(graphs, global_keys=("total_charge",))
+
+    from gcnn_keras_tpu.models.hdnnp4th import make_model_learn
+    model = make_model_learn(
+        mlp_charge_kwargs={"units": [32, 32, 1], "num_relations": 9,
+                           "activation": ["swish", "swish", "linear"]},
+        mlp_local_kwargs={"units": [32, 32, 1], "num_relations": 9,
+                          "activation": ["swish", "swish", "linear"]})
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    # w6/w7: the reference's physical hardness/sigma tables (non-trainable,
+    # built from the same published constants here)
+    mapping = ["mlp_charge/rel_dense_0/kernel", "mlp_charge/rel_dense_0/bias",
+               "mlp_charge/rel_dense_1/kernel", "mlp_charge/rel_dense_1/bias",
+               "mlp_charge/rel_dense_2/kernel", "mlp_charge/rel_dense_2/bias",
+               None, None,
+               "mlp_local/rel_dense_0/kernel", "mlp_local/rel_dense_0/bias",
+               "mlp_local/rel_dense_1/kernel", "mlp_local/rel_dense_1/bias",
+               "mlp_local/rel_dense_2/kernel", "mlp_local/rel_dense_2/bias"]
+    weights = list(weights)
+    for i in (1, 3, 5, 9, 11, 13):
+        weights[i] = np.broadcast_to(weights[i], (9,) + weights[i].shape).copy()
+    params = _apply_mapping(params, weights, mapping)
+    out = model.apply(params, batch)
+    energy = np.asarray(out["output"])[:len(graphs)]
+    np.testing.assert_allclose(energy, ref_out, rtol=1e-4, atol=5e-5)
