@@ -58,20 +58,14 @@ def _apply_mapping(params, weights, mapping):
     return params
 
 
-def test_schnet_matches_reference():
-    graphs, weights, ref_out = _load("schnet")
-    for g in graphs:
-        g["node_number"] = g.pop("z").astype(np.int64)
-        g["node_coordinates"] = g["xyz"]
-    batch = batch_graphs(graphs)
+# --- Shared reference-weight mappings (reference ``model.weights`` order ->
+# this framework's param paths). Used by both the forward-parity tests here
+# and the force-path parity tests in test_force_parity.py.
 
-    from gcnn_keras_tpu.models.schnet import make_model
-    model = make_model(depth=2)
-    params = model.init(jax.random.PRNGKey(0), batch)
-
+def schnet_mapping(depth=2):
     mapping = ["OptionalInputEmbedding_0/Embed_0/embedding",
                "embed_to_units/Dense_0/kernel", "embed_to_units/Dense_0/bias"]
-    for i in range(2):
+    for i in range(depth):
         p = f"interaction_{i}"
         mapping += [f"{p}/cfconv/filter_1/Dense_0/kernel",
                     f"{p}/cfconv/filter_1/Dense_0/bias",
@@ -84,7 +78,76 @@ def test_schnet_matches_reference():
         for i in range(k):
             mapping += [f"{blk}/dense_{i}/Dense_0/kernel",
                         f"{blk}/dense_{i}/Dense_0/bias"]
-    params = _apply_mapping(params, weights, mapping)
+    return mapping
+
+
+def painn_mapping(depth=2):
+    # Second slot is the reference's trainable Bessel frequency vector at
+    # init (n*pi) — ours uses the same closed form; callers assert instead.
+    mapping = ["OptionalInputEmbedding_0/Embed_0/embedding", None]
+    for i in range(depth):
+        mapping += [f"conv_{i}/dense_1/Dense_0/kernel",
+                    f"conv_{i}/dense_1/Dense_0/bias",
+                    f"conv_{i}/phi/Dense_0/kernel",
+                    f"conv_{i}/phi/Dense_0/bias",
+                    f"conv_{i}/w/Dense_0/kernel",
+                    f"conv_{i}/w/Dense_0/bias",
+                    f"update_{i}/dense_1/Dense_0/kernel",
+                    f"update_{i}/dense_1/Dense_0/bias",
+                    f"update_{i}/lin_u/Dense_0/kernel",
+                    f"update_{i}/lin_v/Dense_0/kernel",
+                    f"update_{i}/a/Dense_0/kernel",
+                    f"update_{i}/a/Dense_0/bias"]
+    mapping += ["output_mlp/dense_0/Dense_0/kernel",
+                "output_mlp/dense_0/Dense_0/bias",
+                "output_mlp/dense_1/Dense_0/kernel",
+                "output_mlp/dense_1/Dense_0/bias"]
+    return mapping
+
+
+def hdnnp2nd_mapping():
+    """Returns (mapping, broadcast_indices): the reference shares the
+    RelationalMLP bias across relations; ours is per-relation, so the weights
+    at ``broadcast_indices`` must be broadcast to (num_relations, ...)."""
+    mapping = [None, None, None, None, None,
+               "atomic_mlp/rel_dense_0/kernel", "atomic_mlp/rel_dense_0/bias",
+               "atomic_mlp/rel_dense_1/kernel", "atomic_mlp/rel_dense_1/bias",
+               "atomic_mlp/rel_dense_2/kernel", "atomic_mlp/rel_dense_2/bias"]
+    return mapping, (6, 8, 10)
+
+
+def hdnnp4th_mapping():
+    mapping = [None, None, None, None, None,
+               "mlp_charge/rel_dense_0/kernel", "mlp_charge/rel_dense_0/bias",
+               "mlp_charge/rel_dense_1/kernel", "mlp_charge/rel_dense_1/bias",
+               "mlp_charge/rel_dense_2/kernel", "mlp_charge/rel_dense_2/bias",
+               None, None,
+               "mlp_local/rel_dense_0/kernel", "mlp_local/rel_dense_0/bias",
+               "mlp_local/rel_dense_1/kernel", "mlp_local/rel_dense_1/bias",
+               "mlp_local/rel_dense_2/kernel", "mlp_local/rel_dense_2/bias"]
+    return mapping, (6, 8, 10, 14, 16, 18)
+
+
+def broadcast_relational(weights, indices, num_relations=9):
+    weights = list(weights)
+    for i in indices:
+        weights[i] = np.broadcast_to(
+            weights[i], (num_relations,) + weights[i].shape).copy()
+    return weights
+
+
+def test_schnet_matches_reference():
+    graphs, weights, ref_out = _load("schnet")
+    for g in graphs:
+        g["node_number"] = g.pop("z").astype(np.int64)
+        g["node_coordinates"] = g["xyz"]
+    batch = batch_graphs(graphs)
+
+    from gcnn_keras_tpu.models.schnet import make_model
+    model = make_model(depth=2)
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    params = _apply_mapping(params, weights, schnet_mapping(depth=2))
     out = model.apply(params, batch)["output"]
     out = np.asarray(out)[:len(graphs)]  # drop the padding graph slot
     np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=2e-5)
@@ -106,25 +169,7 @@ def test_painn_matches_reference():
     freq = weights[1]
     np.testing.assert_allclose(freq, np.arange(1, 21) * np.pi, rtol=1e-6)
 
-    mapping = ["OptionalInputEmbedding_0/Embed_0/embedding", None]
-    for i in range(2):
-        mapping += [f"conv_{i}/dense_1/Dense_0/kernel",
-                    f"conv_{i}/dense_1/Dense_0/bias",
-                    f"conv_{i}/phi/Dense_0/kernel",
-                    f"conv_{i}/phi/Dense_0/bias",
-                    f"conv_{i}/w/Dense_0/kernel",
-                    f"conv_{i}/w/Dense_0/bias",
-                    f"update_{i}/dense_1/Dense_0/kernel",
-                    f"update_{i}/dense_1/Dense_0/bias",
-                    f"update_{i}/lin_u/Dense_0/kernel",
-                    f"update_{i}/lin_v/Dense_0/kernel",
-                    f"update_{i}/a/Dense_0/kernel",
-                    f"update_{i}/a/Dense_0/bias"]
-    mapping += ["output_mlp/dense_0/Dense_0/kernel",
-                "output_mlp/dense_0/Dense_0/bias",
-                "output_mlp/dense_1/Dense_0/kernel",
-                "output_mlp/dense_1/Dense_0/bias"]
-    params = _apply_mapping(params, weights, mapping)
+    params = _apply_mapping(params, weights, painn_mapping(depth=2))
     out = model.apply(params, batch)["output"]
     out = np.asarray(out)[:len(graphs)]  # drop the padding graph slot
     np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=2e-5)
@@ -309,16 +354,10 @@ def test_hdnnp2nd_matches_reference():
 
     # w0-w4 are the ACSF parameter tables / element lookup constants —
     # rebuilt from the same config on our side; the output match certifies
-    # them. The reference shares the RelationalMLP bias across relations;
-    # ours is per-relation, so broadcast.
-    mapping = [None, None, None, None, None,
-               "atomic_mlp/rel_dense_0/kernel", "atomic_mlp/rel_dense_0/bias",
-               "atomic_mlp/rel_dense_1/kernel", "atomic_mlp/rel_dense_1/bias",
-               "atomic_mlp/rel_dense_2/kernel", "atomic_mlp/rel_dense_2/bias"]
-    weights = list(weights)
-    for i in (6, 8, 10):
-        weights[i] = np.broadcast_to(weights[i], (9,) + weights[i].shape).copy()
-    params = _apply_mapping(params, weights, mapping)
+    # them.
+    mapping, bcast = hdnnp2nd_mapping()
+    params = _apply_mapping(params, broadcast_relational(weights, bcast),
+                            mapping)
     out = model.apply(params, batch)["output"]
     out = np.asarray(out)[:len(graphs)]
     np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=5e-5)
@@ -351,18 +390,9 @@ def test_hdnnp4th_matches_reference():
     # reference's physical hardness/sigma element tables (use_physical_params,
     # non-trainable) — ours are built from the same published constants, so
     # the output match certifies them too.
-    mapping = [None, None, None, None, None,
-               "mlp_charge/rel_dense_0/kernel", "mlp_charge/rel_dense_0/bias",
-               "mlp_charge/rel_dense_1/kernel", "mlp_charge/rel_dense_1/bias",
-               "mlp_charge/rel_dense_2/kernel", "mlp_charge/rel_dense_2/bias",
-               None, None,
-               "mlp_local/rel_dense_0/kernel", "mlp_local/rel_dense_0/bias",
-               "mlp_local/rel_dense_1/kernel", "mlp_local/rel_dense_1/bias",
-               "mlp_local/rel_dense_2/kernel", "mlp_local/rel_dense_2/bias"]
-    weights = list(weights)
-    for i in (6, 8, 10, 14, 16, 18):
-        weights[i] = np.broadcast_to(weights[i], (9,) + weights[i].shape).copy()
-    params = _apply_mapping(params, weights, mapping)
+    mapping, bcast = hdnnp4th_mapping()
+    params = _apply_mapping(params, broadcast_relational(weights, bcast),
+                            mapping)
     out = model.apply(params, batch)
 
     # energy parity
@@ -718,22 +748,7 @@ def test_schnet_crystal_matches_reference():
     model = make_crystal_model(depth=2)
     params = model.init(jax.random.PRNGKey(0), batch)
 
-    mapping = ["OptionalInputEmbedding_0/Embed_0/embedding",
-               "embed_to_units/Dense_0/kernel", "embed_to_units/Dense_0/bias"]
-    for i in range(2):
-        p = f"interaction_{i}"
-        mapping += [f"{p}/cfconv/filter_1/Dense_0/kernel",
-                    f"{p}/cfconv/filter_1/Dense_0/bias",
-                    f"{p}/cfconv/filter_2/Dense_0/kernel",
-                    f"{p}/cfconv/filter_2/Dense_0/bias",
-                    f"{p}/pre/Dense_0/kernel",
-                    f"{p}/post_1/Dense_0/kernel", f"{p}/post_1/Dense_0/bias",
-                    f"{p}/post_2/Dense_0/kernel", f"{p}/post_2/Dense_0/bias"]
-    for blk, k in (("last_mlp", 2), ("output_mlp", 2)):
-        for i in range(k):
-            mapping += [f"{blk}/dense_{i}/Dense_0/kernel",
-                        f"{blk}/dense_{i}/Dense_0/bias"]
-    params = _apply_mapping(params, weights, mapping)
+    params = _apply_mapping(params, weights, schnet_mapping(depth=2))
     out = model.apply(params, batch)["output"]
     out = np.asarray(out)[:len(graphs)]
     np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=2e-5)
