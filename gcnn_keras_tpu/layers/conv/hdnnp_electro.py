@@ -64,6 +64,17 @@ CENT_HARDNESS = (0.037 / 0.529177 * np.array([
 ])).astype(np.float32)
 
 
+def _table_init(table: np.ndarray, use_physical_params: bool):
+    """Initializer for the (97,) hardness/sigma weights — physical table when
+    ``use_physical_params`` (reference ``hdnnp_conv.py:142`` set_weights),
+    otherwise glorot_uniform over the 1-D shape (keras fan = shape[0])."""
+    if use_physical_params:
+        return lambda key: jnp.asarray(table)
+    limit = math.sqrt(6.0 / (len(table) + len(table)))
+    return lambda key: jax.random.uniform(
+        key, (len(table),), jnp.float32, -limit, limit)
+
+
 class CENTCharge(nn.Module):
     """Charge equilibration: solve the Qeq linear system per molecule.
 
@@ -73,13 +84,19 @@ class CENTCharge(nn.Module):
     """
 
     param_trainable: bool = False
+    # reference ``use_physical_params`` (hdnnp_conv.py:142): True seeds the
+    # hardness/sigma weights with the physical tables, False leaves the
+    # random (glorot_uniform) initialization in place.
+    use_physical_params: bool = True
 
     @nn.compact
     def __call__(self, batch: GraphBatch, chi: Array,
                  positions: Optional[Array] = None) -> Array:
-        if self.param_trainable:
-            hardness = self.param("hardness_j", lambda k: jnp.asarray(CENT_HARDNESS))
-            sigma_t = self.param("sigma", lambda k: jnp.asarray(CENT_RADII))
+        if self.param_trainable or not self.use_physical_params:
+            hardness = self.param("hardness_j",
+                                  _table_init(CENT_HARDNESS, self.use_physical_params))
+            sigma_t = self.param("sigma",
+                                 _table_init(CENT_RADII, self.use_physical_params))
         else:
             hardness = jnp.asarray(CENT_HARDNESS)
             sigma_t = jnp.asarray(CENT_RADII)
@@ -135,6 +152,7 @@ class ElectrostaticEnergyGaussCharge(nn.Module):
 
     multiplicity: float = 2.0
     param_trainable: bool = False
+    use_physical_params: bool = True
     # standalone layer: Angstrom radii (hdnnp_conv.py:318 0.01*pm); the
     # fused CENT+electrostatic layer overrides with Bohr radii — in the
     # reference the fused class inherits (CENTCharge,
@@ -147,10 +165,13 @@ class ElectrostaticEnergyGaussCharge(nn.Module):
     @nn.compact
     def __call__(self, batch: GraphBatch, q: Array,
                  positions: Optional[Array] = None) -> Array:
-        table = jnp.asarray(GAUSS_RADII if self.sigma_table is None
-                            else self.sigma_table)
-        sigma_t = (self.param("sigma", lambda k: table)
-                   if self.param_trainable else table)
+        table = np.asarray(GAUSS_RADII if self.sigma_table is None
+                           else self.sigma_table)
+        if self.param_trainable or not self.use_physical_params:
+            sigma_t = self.param("sigma",
+                                 _table_init(table, self.use_physical_params))
+        else:
+            sigma_t = jnp.asarray(table)
         z = jnp.clip(batch.nodes["node_number"].astype(jnp.int32), 0, _MAX_Z - 1)
         pos = positions if positions is not None else batch.nodes["node_coordinates"]
         qf = q.reshape(q.shape[0], -1)[:, 0]
@@ -197,15 +218,18 @@ class CENTChargePlusElectrostaticEnergy(nn.Module):
 
     multiplicity: float = 2.0
     param_trainable: bool = False
+    use_physical_params: bool = True
 
     @nn.compact
     def __call__(self, batch: GraphBatch, chi: Array,
                  positions: Optional[Array] = None) -> Tuple[Array, Array]:
         q = CENTCharge(param_trainable=self.param_trainable,
+                       use_physical_params=self.use_physical_params,
                        name="cent_charge")(batch, chi, positions)
         e = ElectrostaticEnergyGaussCharge(
             multiplicity=self.multiplicity,
             param_trainable=self.param_trainable,
+            use_physical_params=self.use_physical_params,
             # fused layer uses the CENT (Bohr) radii for sigma — reference
             # MRO quirk, see ElectrostaticEnergyGaussCharge.sigma_table
             sigma_table=CENT_RADII,

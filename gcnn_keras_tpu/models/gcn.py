@@ -111,8 +111,11 @@ class GCNWeighted(nn.Module):
         if cfg["output_embedding"] == "graph":
             from ..layers.aggr import pool_nodes_to_graph
             # PoolingWeightedNodes: multiply by node weights, then MEAN per
-            # graph (reference default, kgcnn/layers/pooling.py:245)
-            hw = h * nw * batch.node_mask[:, None].astype(h.dtype)
+            # graph (reference default, kgcnn/layers/pooling.py:245).
+            # No node_mask needed: padding nodes live only in the dead last
+            # graph slot (batch.py invariant), same readout idiom as the
+            # other models.
+            hw = h * nw
             out = pool_nodes_to_graph(batch, hw, pooling_method="mean")
             out = MLP(out_cfg["units"], activation=out_cfg["activation"],
                       use_bias=out_cfg.get("use_bias", True), name="output")(out)

@@ -48,6 +48,53 @@ model_default_behler = dict(
 )
 
 
+# keras plumbing keys the reference's electrostatic layers accept but that
+# have no counterpart here (initializer objects resolve through
+# use_physical_params; constraints/regularizers are training-driver concerns)
+_ELECTRO_IGNORED = {"name", "param_initializer", "param_regularizer",
+                    "param_constraint", "output_to_tensor", "add_eps"}
+_ELECTRO_KNOWN = {"param_trainable", "use_physical_params",
+                  "multiplicity"} | _ELECTRO_IGNORED
+
+
+def _electro_opts(cfg: Dict[str, Any]) -> Dict[str, Any]:
+    """Merge cent_kwargs + electrostatic_kwargs like the reference's
+    ``CENTChargePlusElectrostaticEnergy(**cent_kwargs, **electrostatic_kwargs)``
+    (``HDNNP4th.py:158``), validating keys instead of cherry-picking."""
+    merged = {**(cfg.get("cent_kwargs") or {}),
+              **(cfg.get("electrostatic_kwargs") or {})}
+    unknown = set(merged) - _ELECTRO_KNOWN
+    if unknown:
+        raise ValueError(
+            f"Unknown electrostatic/cent kwargs: {sorted(unknown)}; "
+            f"supported: {sorted(_ELECTRO_KNOWN - _ELECTRO_IGNORED)}")
+    return {k: merged[k] for k in ("param_trainable", "use_physical_params",
+                                   "multiplicity") if k in merged}
+
+
+def _charge_energy_core(cfg: Dict[str, Any], batch: GraphBatch, rep: Array,
+                        esp: Array, z: Array) -> Dict[str, Array]:
+    """Shared chi -> CENT solve -> QM/MM -> local-energy block used by both
+    the end-to-end behler model (``HDNNP4th.py:148-183``) and the learn model
+    (``:420-432``). Must be called inside a compact parent scope."""
+    chi = RelationalMLP(**cfg["mlp_charge_kwargs"], name="mlp_charge")(rep, z)
+    chi_and_esp = chi[:, 0] + esp
+
+    q, e_elec = CENTChargePlusElectrostaticEnergy(
+        **_electro_opts(cfg), name="cent_electrostatic")(batch, chi_and_esp)
+    e_qmmm = electrostatic_qmmm_energy(batch, q, esp)
+
+    rep_charge = jnp.concatenate([rep, q[:, None]], axis=-1)
+    local_e = RelationalMLP(**cfg["mlp_local_kwargs"], name="mlp_local")(rep_charge, z)
+    local_e = local_e * batch.node_mask[:, None].astype(local_e.dtype)
+    e_short = pool_nodes_to_graph(batch, local_e, **cfg["node_pooling_args"])
+
+    e_total = e_short + e_elec + e_qmmm
+    return {"charge": q, "output": e_total,
+            "electrostatic_energy": e_elec, "qmmm_energy": e_qmmm,
+            "short_range_energy": e_short}
+
+
 class HDNNP4th(nn.Module):
     config: Dict[str, Any]
 
@@ -72,21 +119,9 @@ class HDNNP4th(nn.Module):
             rep = GraphBatchNorm(**cfg["normalize_kwargs"], name="norm")(
                 rep, batch.node_mask, use_running_average=not train)
 
-        chi = RelationalMLP(**cfg["mlp_charge_kwargs"], name="mlp_charge")(rep, z)
-        chi_and_esp = chi[:, 0] + esp
+        result = _charge_energy_core(cfg, batch, rep, esp, z)
+        q, e_total = result["charge"], result["output"]
 
-        q, e_elec = CENTChargePlusElectrostaticEnergy(
-            **{**cfg["cent_kwargs"],
-               "param_trainable": cfg["electrostatic_kwargs"].get("param_trainable", False)},
-            name="cent_electrostatic")(batch, chi_and_esp)
-        e_qmmm = electrostatic_qmmm_energy(batch, q, esp)
-
-        rep_charge = jnp.concatenate([rep, q[:, None]], axis=-1)
-        local_e = RelationalMLP(**cfg["mlp_local_kwargs"], name="mlp_local")(rep_charge, z)
-        local_e = local_e * batch.node_mask[:, None].astype(local_e.dtype)
-        e_short = pool_nodes_to_graph(batch, local_e, **cfg["node_pooling_args"])
-
-        e_total = e_short + e_elec + e_qmmm
         if cfg.get("energy_mean_and_var"):
             mean, var = cfg["energy_mean_and_var"]
             e_total = e_total * jnp.sqrt(var) + mean
@@ -96,19 +131,18 @@ class HDNNP4th(nn.Module):
                           name="output_mlp")(e_total)
 
         out_mode = cfg["output_embedding"]
-        result = {"charge": q, "output": e_total,
-                  "electrostatic_energy": e_elec, "qmmm_energy": e_qmmm,
-                  "short_range_energy": e_short}
+        result["output"] = e_total
         if out_mode == "charge":
             result["output"] = q
         elif out_mode == "electrostatic_energy":
-            result["output"] = e_elec
+            result["output"] = result["electrostatic_energy"]
         # 'graph' / 'total_energy' / 'charge+qm_energy' keep energy in 'output'
         return result
 
 
 def make_model_behler(**kwargs) -> HDNNP4th:
     cfg = update_model_kwargs(model_default_behler, kwargs)
+    _electro_opts(cfg)  # fail fast on unknown electrostatic/cent keys
     return HDNNP4th(config=cfg)
 
 
@@ -186,32 +220,23 @@ class HDNNP4thLearn(nn.Module):
             rep_esp = GraphBatchNorm(**cfg["normalize_kwargs"], name="norm")(
                 rep_esp, batch.node_mask, use_running_average=not train)
 
-        chi = RelationalMLP(**cfg["mlp_charge_kwargs"], name="mlp_charge")(rep_esp, z)
-        chi_and_esp = chi[:, 0] + esp
+        result = _charge_energy_core(cfg, batch, rep_esp, esp, z)
 
-        q, e_elec = CENTChargePlusElectrostaticEnergy(
-            **{**cfg["cent_kwargs"],
-               "param_trainable": cfg["electrostatic_kwargs"].get("param_trainable", False)},
-            name="cent_electrostatic")(batch, chi_and_esp)
-        e_qmmm = electrostatic_qmmm_energy(batch, q, esp)
-
-        rep_charge = jnp.concatenate([rep_esp, q[:, None]], axis=-1)
-        local_e = RelationalMLP(**cfg["mlp_local_kwargs"], name="mlp_local")(rep_charge, z)
-        local_e = local_e * batch.node_mask[:, None].astype(local_e.dtype)
-        e_short = pool_nodes_to_graph(batch, local_e, **cfg["node_pooling_args"])
-
-        e_total = e_short + e_elec + e_qmmm
         if cfg["use_output_mlp"]:
-            e_total = MLP(cfg["output_mlp"]["units"],
-                          activation=cfg["output_mlp"]["activation"],
-                          name="output_mlp")(e_total)
-        return {"charge": q, "output": e_total,
-                "electrostatic_energy": e_elec, "qmmm_energy": e_qmmm,
-                "short_range_energy": e_short}
+            result["output"] = MLP(cfg["output_mlp"]["units"],
+                                   activation=cfg["output_mlp"]["activation"],
+                                   name="output_mlp")(result["output"])
+        return result
 
 
 def make_model_learn(**kwargs) -> HDNNP4thLearn:
     cfg = update_model_kwargs(model_default_learn, kwargs)
+    # reference make_model_learn raises for any non-'graph' embedding
+    # (HDNNP4th.py:436-440)
+    if cfg.get("output_embedding", "graph") != "graph":
+        raise ValueError("Unsupported output embedding for mode `HDNNP4th` "
+                         "make_model_learn: only 'graph' is supported.")
+    _electro_opts(cfg)  # fail fast on unknown electrostatic/cent keys
     return HDNNP4thLearn(config=cfg)
 
 

@@ -142,6 +142,7 @@ def record_hdnnp4th_rep_learn():
 if __name__ == "__main__":
     import tensorflow as tf
     tf.config.set_visible_devices([], "GPU")
+    failures = []
     for fn in (record_gcn_weighted, record_hdnnp4th_rep_learn):
         try:
             fn()
@@ -149,3 +150,8 @@ if __name__ == "__main__":
             import traceback
             print(f"--- {fn.__name__} failed:")
             traceback.print_exc(limit=8)
+            failures.append(fn.__name__)
+    if failures:
+        # a partial regeneration must not exit 0 — stale fixtures would
+        # silently survive
+        sys.exit(f"golden recorders failed: {failures}")
