@@ -35,6 +35,11 @@ DEFAULTS = {
     "synthetic_frames": 64,
     "use_esp_coupling": False,
     "outputs": ("energy", "force"),
+    # data parallelism over the first N devices (shard_map mesh); 0/None =
+    # single device. "distributed" joins a multi-host jax.distributed
+    # runtime and shards the dataset per host.
+    "n_devices": 0,
+    "distributed": False,
 }
 
 
@@ -85,6 +90,16 @@ def run_force_training(build_model: Callable[[Dict], object], cfg: Dict) -> Dict
     cfg = merged
     ds = load_force_dataset(cfg)
 
+    if cfg["distributed"]:
+        from ..parallel.distributed import (maybe_initialize_distributed,
+                                            host_shard_indices)
+        maybe_initialize_distributed()
+        ds = ds[host_shard_indices(len(ds), seed=cfg["seed"])]
+    mesh = None
+    if cfg["n_devices"] and cfg["n_devices"] > 1:
+        from ..parallel.mesh import make_mesh
+        mesh = make_mesh(cfg["n_devices"])
+
     w = {"charge": cfg["charge_loss_weight"], "energy": cfg["energy_loss_weight"],
          "force": cfg["force_loss_weight"]}
     wsum = sum(v for k, v in w.items() if k in cfg["outputs"] or k in ("energy", "force"))
@@ -115,7 +130,6 @@ def run_force_training(build_model: Callable[[Dict], object], cfg: Dict) -> Dict
         lr = optax.linear_schedule(cfg["learning_rate_start"],
                                    cfg["learning_rate_stop"], steps)
         optimizer = optax.adam(lr)
-        opt_state = optimizer.init(params)
 
         def loss_fn(p, b):
             out = fmodel.apply(p, b, train=False)
@@ -136,11 +150,16 @@ def run_force_training(build_model: Callable[[Dict], object], cfg: Dict) -> Dict
                 metrics["charge_mae"] = lq
             return loss, metrics
 
-        @jax.jit
-        def step(p, s, b):
-            (l, m), g = jax.value_and_grad(loss_fn, has_aux=True)(p, b)
-            up, s = optimizer.update(g, s, p)
-            return optax.apply_updates(p, up), s, l, m
+        from .trainer import Trainer
+        trainer = Trainer(loss_fn, optimizer, mesh=mesh)
+        state = trainer.init_state(params)
+        step = trainer.step_fn()
+
+        def epoch_batches():
+            if mesh is None:
+                return loader
+            from ..parallel.data_parallel import dp_batch_iterator
+            return dp_batch_iterator(loader, mesh)
 
         val_batch = val.to_batch(global_keys=tuple(global_keys))
         hist = {"loss": [], "val_force_mae": [], "val_energy_mae": []}
@@ -149,9 +168,10 @@ def run_force_training(build_model: Callable[[Dict], object], cfg: Dict) -> Dict
               flush=True)
         for epoch in range(cfg["epochs"]):
             losses = []
-            for b in loader:
-                params, opt_state, l, m = step(params, opt_state, b)
-                losses.append(float(l))
+            for b in epoch_batches():
+                state, m = step(state, b)
+                losses.append(float(m["loss"]))
+            params, opt_state = state.params, state.opt_state
             vout = fmodel.apply(params, val_batch, train=False)
             hist["loss"].append(float(np.mean(losses)))
             hist["val_energy_mae"].append(float(masked_graph_mae(
@@ -182,6 +202,10 @@ def parse_config_cli(defaults: Dict) -> Dict:
     ap.add_argument("--conf", default=None)
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--data-path", default=None)
+    ap.add_argument("--n-devices", type=int, default=None,
+                    help="data-parallel over the first N devices")
+    ap.add_argument("--distributed", action="store_true",
+                    help="join a multi-host jax.distributed runtime")
     args = ap.parse_args()
     cfg = dict(defaults)
     if args.conf:
@@ -191,4 +215,8 @@ def parse_config_cli(defaults: Dict) -> Dict:
         cfg["epochs"] = args.epochs
     if args.data_path:
         cfg["data_path"] = args.data_path
+    if args.n_devices is not None:
+        cfg["n_devices"] = args.n_devices
+    if args.distributed:
+        cfg["distributed"] = True
     return cfg

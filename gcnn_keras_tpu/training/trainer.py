@@ -60,33 +60,17 @@ class Trainer:
 
     def _dp_step(self, state: TrainState, batches: GraphBatch):
         """``batches`` is a GraphBatch whose arrays have a leading device
-        axis of size mesh.shape[data_axis]."""
-        from jax.sharding import PartitionSpec as P
-        from jax import shard_map
+        axis of size mesh.shape[data_axis]. Delegates to the ONE shard_map
+        DP implementation in ``parallel.data_parallel``."""
+        from ..parallel.data_parallel import shard_map_train_step
 
-        axis = self.data_axis
-
-        def device_step(state, sub):
-            sub = jax.tree.map(lambda x: x[0], sub)
-            (loss, metrics), grads = jax.value_and_grad(
-                self.loss_fn, has_aux=True)(state.params, sub)
-            grads = jax.lax.pmean(grads, axis)
-            loss = jax.lax.pmean(loss, axis)
-            metrics = jax.tree.map(lambda m: jax.lax.pmean(m, axis), dict(metrics))
-            updates, opt_state = self.optimizer.update(grads, state.opt_state,
-                                                       state.params)
-            params = optax.apply_updates(state.params, updates)
-            metrics["loss"] = loss
-            return TrainState(params=params, opt_state=opt_state,
-                              step=state.step + 1,
-                              batch_stats=state.batch_stats), metrics
-
-        return shard_map(
-            device_step, mesh=self.mesh,
-            in_specs=(P(), P(axis)),
-            out_specs=(P(), P()),
-            check_vma=False,
-        )(state, batches)
+        sharded = shard_map_train_step(self.loss_fn, self.optimizer,
+                                       self.mesh, self.data_axis)
+        params, opt_state, metrics = sharded(state.params, state.opt_state,
+                                             batches)
+        return TrainState(params=params, opt_state=opt_state,
+                          step=state.step + 1,
+                          batch_stats=state.batch_stats), metrics
 
     def step_fn(self) -> Callable:
         if self._step is None:

@@ -131,3 +131,78 @@ def test_dp_train_step_matches_single_device():
     diff = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), dp_params, ref_params)
     max_diff = max(jax.tree.leaves(diff))
     assert max_diff < 1e-5, max_diff
+
+
+def test_trainer_dp_driver_path_matches_single_device():
+    """The USER-FACING DP path (Trainer(mesh) + dp_batch_iterator — what
+    ``training/train_force.py --n-devices N`` runs) must produce
+    step-for-step identical updates to the single-device Trainer on the
+    same per-device batches (VERDICT r1 item 3)."""
+    from gcnn_keras_tpu.models.schnet import make_model
+    from gcnn_keras_tpu.parallel.mesh import make_mesh
+    from gcnn_keras_tpu.parallel.data_parallel import dp_batch_iterator
+    from gcnn_keras_tpu.training.trainer import Trainer
+
+    if jax.device_count() < 2:
+        pytest.skip("needs multiple devices")
+    n_dev = min(4, jax.device_count())
+    mesh = make_mesh(n_dev)
+
+    model = make_model(depth=1, interaction_args={"units": 16},
+                       gauss_args={"bins": 8, "distance_max": 5.0},
+                       last_mlp={"units": [8], "activation": ["shifted_softplus"]},
+                       output_mlp={"units": [1], "activation": ["linear"]})
+
+    # two DP steps' worth of per-device batches
+    batches = [batch_graphs(_qm_like_dataset(n_mols=2, seed=i),
+                            n_node_pad=32, n_edge_pad=256, max_nodes=8,
+                            global_keys=("energy",))
+               for i in range(2 * n_dev)]
+    params = model.init(jax.random.PRNGKey(0), batches[0])
+
+    def loss_fn(p, b):
+        out = model.apply(p, b)["output"]
+        l = masked_graph_mae(out, b.globals["energy"], b.globals["graph_mask"])
+        return l, {"energy_mae": l}
+
+    opt = optax.sgd(1e-2)
+
+    # single-device reference FIRST (the jitted DP step donates + deletes
+    # the shared param buffers): same grad-mean semantics, manual averaging
+    ref_params = params
+    opt_state = opt.init(params)
+    ref_losses = []
+    for k in range(2):
+        group = batches[k * n_dev:(k + 1) * n_dev]
+        outs = [jax.value_and_grad(loss_fn, has_aux=True)(ref_params, b)
+                for b in group]
+        mean_grad = jax.tree.map(lambda *g: sum(g) / len(g),
+                                 *[g for (_, g) in outs])
+        ref_losses.append(float(np.mean([float(l) for ((l, _), _) in outs])))
+        up, opt_state = opt.update(mean_grad, opt_state, ref_params)
+        ref_params = optax.apply_updates(ref_params, up)
+
+    dp_trainer = Trainer(loss_fn, opt, mesh=mesh)
+    dp_state = dp_trainer.init_state(params)
+    dp_step = dp_trainer.step_fn()
+    dp_losses = []
+    for stacked in dp_batch_iterator(batches, mesh):
+        dp_state, m = dp_step(dp_state, stacked)
+        dp_losses.append(float(m["loss"]))
+    assert len(dp_losses) == 2
+
+    np.testing.assert_allclose(dp_losses, ref_losses, rtol=1e-5, atol=1e-6)
+    diff = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                        dp_state.params, ref_params)
+    assert max(jax.tree.leaves(diff)) < 1e-5
+
+
+def test_host_shard_indices_partition():
+    """Per-host shards must partition the dataset disjointly and equally."""
+    from gcnn_keras_tpu.parallel.distributed import host_shard_indices
+
+    shards = [host_shard_indices(103, process_index=i, process_count=4,
+                                 seed=3) for i in range(4)]
+    assert all(len(s) == 25 for s in shards)
+    all_idx = np.concatenate(shards)
+    assert len(np.unique(all_idx)) == 100  # disjoint; 3 dropped as remainder

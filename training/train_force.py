@@ -26,6 +26,13 @@ def main():
     ap.add_argument("--force-weight", type=float, default=50.0)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--n-devices", type=int, default=None,
+                    help="data-parallel over the first N devices "
+                         "(shard_map mesh); default single-device")
+    ap.add_argument("--distributed", action="store_true",
+                    help="join a multi-host jax.distributed runtime "
+                         "(coordinates from JAX_COORDINATOR_ADDRESS etc.) "
+                         "with per-host data sharding")
     args = ap.parse_args()
 
     import jax
@@ -103,6 +110,18 @@ def main():
     scaler.transform_dataset(train)
     scaler.transform_dataset(test)
 
+    # Multi-host runtime + mesh (no-ops in single-process / single-device
+    # runs, so every invocation goes through the same Trainer path)
+    if args.distributed:
+        from gcnn_keras_tpu.parallel.distributed import (
+            maybe_initialize_distributed, host_shard_indices)
+        maybe_initialize_distributed()
+        train = train[host_shard_indices(len(train), seed=args.seed)]
+    mesh = None
+    if args.n_devices and args.n_devices > 1:
+        from gcnn_keras_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(args.n_devices)
+
     hint = train.batch_shape_hint(args.batch_size)
     loader = GraphBatchLoader(list(train), args.batch_size, shuffle=True,
                               seed=args.seed, global_keys=("energy",),
@@ -110,7 +129,6 @@ def main():
     fmodel = EnergyForceModel(energy_model)
     first = next(iter(loader))
     params = fmodel.init(jax.random.PRNGKey(args.seed), first)
-    opt_state = optimizer.init(params)
 
     def loss_fn(p, b):
         out = fmodel.apply(p, b)
@@ -120,11 +138,16 @@ def main():
         return args.energy_weight * e_loss + args.force_weight * f_loss, \
             {"energy_mae": e_loss, "force_mae": f_loss}
 
-    @jax.jit
-    def step(p, s, b):
-        (l, m), grads = jax.value_and_grad(loss_fn, has_aux=True)(p, b)
-        updates, s = optimizer.update(grads, s, p)
-        return optax.apply_updates(p, updates), s, l, m
+    from gcnn_keras_tpu.training.trainer import Trainer
+    trainer = Trainer(loss_fn, optimizer, mesh=mesh)
+    state = trainer.init_state(params)
+    step = trainer.step_fn()
+
+    def epoch_batches():
+        if mesh is None:
+            return loader
+        from gcnn_keras_tpu.parallel.data_parallel import dp_batch_iterator
+        return dp_batch_iterator(loader, mesh)
 
     test_batch = test.to_batch(global_keys=("energy",),
                                **extra_batch_kwargs)
@@ -132,9 +155,10 @@ def main():
     t0 = time.perf_counter()
     for epoch in range(args.epochs):
         losses = []
-        for b in loader:
-            params, opt_state, l, m = step(params, opt_state, b)
-            losses.append(float(l))
+        for b in epoch_batches():
+            state, metrics = step(state, b)
+            losses.append(float(metrics["loss"]))
+        params = state.params
         out = fmodel.apply(params, test_batch)
         ve = float(masked_graph_mae(out["energy"], test_batch.globals["energy"],
                                     test_batch.globals["graph_mask"]))
@@ -150,7 +174,7 @@ def main():
 
     if args.checkpoint_dir:
         from gcnn_keras_tpu.utils.checkpoint import save_checkpoint
-        save_checkpoint(args.checkpoint_dir, params, opt_state=opt_state,
+        save_checkpoint(args.checkpoint_dir, params, opt_state=state.opt_state,
                         step=args.epochs)
         scaler.save(f"{args.checkpoint_dir}/scaler.json")
 
