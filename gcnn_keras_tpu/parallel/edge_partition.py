@@ -142,11 +142,33 @@ def make_halo_aggregate(mesh: Mesh, halo_size: int,
     return jax.jit(fn)
 
 
+def required_halo_size(part: PartitionedGraph) -> int:
+    """Smallest halo (rows from each ring neighbor) covering every real
+    edge's sender, or -1 if some sender lies beyond the ±1 ring neighbors
+    (then only the all-gather strategy is valid)."""
+    n_loc = part.n_local
+    need = 0
+    for d in range(part.senders_global.shape[0]):
+        lo = d * n_loc
+        s = part.senders_global[d][part.edge_mask[d]].astype(np.int64)
+        if s.size == 0:
+            continue
+        rel = s - lo
+        if np.any(rel < -n_loc) or np.any(rel >= 2 * n_loc):
+            return -1  # beyond ring neighbors — halo impossible
+        need = max(need, int(np.max(np.maximum(-rel, rel - n_loc + 1),
+                                    initial=0)))
+    return need
+
+
 def encode_halo_senders(part: PartitionedGraph, halo_size: int,
-                        n_devices: int):
+                        n_devices: int, strict: bool = False):
     """Re-encode global sender ids as [left_halo | local | right_halo]
     buffer indices per device. Returns (senders_haloidx (D, E_loc) int32,
-    ok: bool) — ok False if some sender falls outside the halo."""
+    ok: bool) — ok False if some sender falls outside the halo; callers
+    MUST then fall back to all-gather (out-of-halo senders are clipped to
+    the buffer edge and would aggregate the WRONG feature). ``strict=True``
+    raises instead of returning ok=False."""
     n_loc = part.n_local
     sg = part.senders_global
     out = np.zeros_like(sg)
@@ -166,6 +188,10 @@ def encode_halo_senders(part: PartitionedGraph, halo_size: int,
             ok = False
         idx = np.clip(idx, 0, n_loc + 2 * halo_size - 1)
         out[d] = idx
+    if strict and not ok:
+        raise ValueError(
+            f"halo_size={halo_size} does not cover all senders "
+            f"(need {required_halo_size(part)}); use all-gather instead")
     return out.astype(np.int32), ok
 
 
