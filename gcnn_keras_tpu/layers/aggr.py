@@ -59,6 +59,22 @@ def pool_edges_to_nodes(batch: GraphBatch, edge_values: Array,
         indices_are_sorted=True)
 
 
+def gather_mul_pool_edges(batch: GraphBatch, nodes: Array,
+                          edge_filter: Array, mode: str = "sum") -> Array:
+    """Fused ``out[r] = sum_e nodes[senders[e]] * edge_filter[e]`` — the
+    cfconv hot chain. On TPU with large sorted batches this dispatches to
+    the Pallas fused kernel (``ops/pallas/fused_aggregate.py``) which never
+    materializes the gathered (E, F) tensor in HBM; otherwise the plain
+    gather-multiply-segment chain."""
+    if mode == "sum":
+        from ..ops.pallas.fused_aggregate import gather_mul_segsum_auto
+        return gather_mul_segsum_auto(
+            nodes, edge_filter, batch.senders, batch.receivers,
+            batch.n_node, batch.max_nodes, indices_are_sorted=True)
+    return pool_edges_to_nodes(batch, gather_nodes(nodes, batch.senders)
+                               * edge_filter, mode=mode)
+
+
 def pool_weighted_edges_to_nodes(batch: GraphBatch, edge_values: Array,
                                  edge_weights: Array, mode: str = "sum",
                                  normalize: bool = False) -> Array:

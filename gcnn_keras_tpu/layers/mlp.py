@@ -40,7 +40,10 @@ class Dense(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        init = self.kernel_init or nn.initializers.lecun_normal()
+        # keras Dense default is glorot_uniform (flax's is lecun_normal);
+        # matching it keeps TRAINING dynamics aligned with the reference,
+        # not just the forward math — measured in tools/headtohead.
+        init = self.kernel_init or nn.initializers.glorot_uniform()
         y = nn.Dense(self.units, use_bias=self.use_bias, kernel_init=init,
                      dtype=self.dtype, param_dtype=jnp.float32)(x)
         return get_activation(self.activation)(y)
@@ -112,7 +115,10 @@ class RelationalDense(nn.Module):
     @nn.compact
     def __call__(self, x: Array, relations: Array) -> Array:
         fi = x.shape[-1]
-        w = self.param("kernel", nn.initializers.lecun_normal(),
+        # glorot over the (fi, units) fans per relation, like the reference
+        # RelationalDense (keras glorot_uniform default)
+        w = self.param("kernel",
+                       nn.initializers.glorot_uniform(in_axis=-2, out_axis=-1),
                        (self.num_relations, fi, self.units))
         b = self.param("bias", nn.initializers.zeros,
                        (self.num_relations, self.units)) if self.use_bias else None

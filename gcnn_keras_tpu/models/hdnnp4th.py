@@ -53,8 +53,8 @@ model_default_behler = dict(
 # use_physical_params; constraints/regularizers are training-driver concerns)
 _ELECTRO_IGNORED = {"name", "param_initializer", "param_regularizer",
                     "param_constraint", "output_to_tensor", "add_eps"}
-_ELECTRO_KNOWN = {"param_trainable", "use_physical_params",
-                  "multiplicity"} | _ELECTRO_IGNORED
+_ELECTRO_KNOWN = {"param_trainable", "use_physical_params", "multiplicity",
+                  "solver", "cg_tol"} | _ELECTRO_IGNORED
 
 
 def _electro_opts(cfg: Dict[str, Any]) -> Dict[str, Any]:
@@ -69,7 +69,8 @@ def _electro_opts(cfg: Dict[str, Any]) -> Dict[str, Any]:
             f"Unknown electrostatic/cent kwargs: {sorted(unknown)}; "
             f"supported: {sorted(_ELECTRO_KNOWN - _ELECTRO_IGNORED)}")
     return {k: merged[k] for k in ("param_trainable", "use_physical_params",
-                                   "multiplicity") if k in merged}
+                                   "multiplicity", "solver", "cg_tol")
+            if k in merged}
 
 
 def _charge_energy_core(cfg: Dict[str, Any], batch: GraphBatch, rep: Array,
