@@ -18,19 +18,32 @@ def GatherNodes(split_indices=(0, 1), concat_axis=-1):
     return call
 
 
-def GatherNodesSelection(selection_index):
+def GatherNodesSelection(selection_index, index_source=None):
+    """Gather node features by selected index columns
+    (``kgcnn/layers/gather.py`` GatherEmbeddingSelection).
+
+    ``index_source``: "edges" (columns 0=receiver, 1=sender), "angles"
+    (columns of the (A, 3) angle-triple list), or None = auto. Auto picks
+    "angles" when the batch has angles AND the selection needs them (any
+    column >= 2, or a full 3-column selection) — consistently for ALL
+    selected columns, never mixed (a [0, 2] selection reads angle columns
+    0 and 2, not receiver + angle)."""
     def call(batch, nodes):
-        idx_arrays = {0: batch.receivers, 1: batch.senders}
-        sel = selection_index if isinstance(selection_index, (list, tuple)) \
+        sel = list(selection_index) if isinstance(selection_index,
+                                                  (list, tuple)) \
             else [selection_index]
-        out = []
-        for i in sel:
-            if batch.angles is not None and i >= 2 or (
-                    batch.angles is not None and len(sel) == 3):
-                out.append(gather_nodes(nodes, batch.angles[:, i]))
-            else:
-                out.append(gather_nodes(nodes, idx_arrays[i]))
-        return out
+        source = index_source
+        if source is None:
+            wants_angles = any(i >= 2 for i in sel) or len(sel) == 3
+            source = "angles" if (batch.angles is not None and wants_angles) \
+                else "edges"
+        if source == "angles":
+            if batch.angles is None:
+                raise ValueError("GatherNodesSelection(index_source='angles')"
+                                 " needs batch.angles")
+            return [gather_nodes(nodes, batch.angles[:, i]) for i in sel]
+        idx_arrays = {0: batch.receivers, 1: batch.senders}
+        return [gather_nodes(nodes, idx_arrays[i]) for i in sel]
     return call
 
 

@@ -126,3 +126,44 @@ def test_pooling_topk_reference_semantics():
                                    atol=1e-6)
         off += n
     assert not keep[off:].any()
+
+
+def test_gather_nodes_selection_dispatch():
+    """Pin the selection-source rules (VERDICT r1 weak #6): edge selections
+    stay on edges, angle-needing selections use angle columns for ALL
+    entries, and explicit index_source overrides."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gcnn_keras_tpu.batch import batch_graphs
+    from gcnn_keras_tpu.layers.gather import GatherNodesSelection
+
+    g = {
+        "node_number": np.array([1, 6, 8, 1]),
+        "node_coordinates": np.eye(4, 3, dtype=np.float32),
+        "edge_indices": np.array([[0, 1], [1, 0], [2, 3], [3, 2]]),
+        "angle_indices_nodes": np.array([[0, 1, 2], [1, 2, 3]]),
+    }
+    batch = batch_graphs([g])
+    nodes = jnp.arange(batch.n_node, dtype=jnp.float32)[:, None]
+
+    # plain edge pair
+    r, s = GatherNodesSelection([0, 1])(batch, nodes)
+    np.testing.assert_array_equal(np.asarray(r[:4, 0]).astype(int),
+                                  np.asarray(batch.receivers[:4]))
+    np.testing.assert_array_equal(np.asarray(s[:4, 0]).astype(int),
+                                  np.asarray(batch.senders[:4]))
+
+    # 3-column selection -> all angle columns
+    i, j, k = GatherNodesSelection([0, 1, 2])(batch, nodes)
+    ang = np.asarray(batch.angles)
+    np.testing.assert_array_equal(np.asarray(i[:2, 0]).astype(int), ang[:2, 0])
+    np.testing.assert_array_equal(np.asarray(k[:2, 0]).astype(int), ang[:2, 2])
+
+    # [0, 2] selection: consistently angles (NOT receiver + angle col 2)
+    a0, a2 = GatherNodesSelection([0, 2])(batch, nodes)
+    np.testing.assert_array_equal(np.asarray(a0[:2, 0]).astype(int), ang[:2, 0])
+    np.testing.assert_array_equal(np.asarray(a2[:2, 0]).astype(int), ang[:2, 2])
+
+    # explicit override: edges even with angles present
+    r2, s2 = GatherNodesSelection([0, 1], index_source="edges")(batch, nodes)
+    np.testing.assert_array_equal(np.asarray(r2), np.asarray(r))
