@@ -92,3 +92,32 @@ $$$$
     z, xyz = mols[0]
     assert z == [8, 1, 1]
     assert abs(xyz[1][0] - 0.96) < 1e-6
+
+
+def test_mol_converter_process_pool():
+    """MolConverter with the process pool must match serial conversion
+    (parity surface: kgcnn/mol/convert.py:168 multiprocessing path)."""
+    pytest.importorskip("rdkit")
+    from gcnn_keras_tpu.mol.convert import MolConverter
+
+    smiles = ["C", "CC", "CCO", "c1ccccc1"]
+    serial = MolConverter(num_workers=1).smile_to_mol(smiles)
+    parallel = MolConverter(num_workers=2, pool="process",
+                            make_conformers=False,
+                            optimize_conformer=False).smile_to_mol(smiles)
+    assert len(serial) == len(parallel) == 4
+    assert all(b is not None for b in parallel)
+
+
+def test_openbabel_backend_gated():
+    """Without openbabel installed the backend must raise a CLEAR ImportError
+    at construction (same optional gating as the reference), and
+    babel_available() reports the gate."""
+    from gcnn_keras_tpu.mol import graph_babel
+
+    if graph_babel.babel_available():
+        mg = graph_babel.MolecularGraphOpenBabel().from_smiles("CCO")
+        assert len(mg.node_number) >= 3
+    else:
+        with pytest.raises(ImportError):
+            graph_babel.MolecularGraphOpenBabel()
