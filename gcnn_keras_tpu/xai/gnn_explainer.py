@@ -1,13 +1,22 @@
-"""GNNExplainer (parity: ``kgcnn/literature/GNNExplain.py``, 614 LoC):
-post-hoc explanation by optimizing soft edge / node-feature masks that
-preserve the model's prediction while penalizing mask size and entropy.
+"""GNNExplainer (parity: ``kgcnn/literature/GNNExplain.py``
+GNNExplainerOptimizer:484): post-hoc explanation by optimizing soft masks
+that keep the model's prediction while penalizing mask norms.
 
-TPU-native: masks are leaves of an optax optimization, the masked forward is
-jit-compiled once and scanned over optimization steps.
+Mirrors the reference's full configuration surface:
+- THREE masks, like ``GNNExplainerOptimizer.__init__`` (:484-540): an edge
+  mask (E,), a GLOBAL per-feature mask (F,) shared across nodes, and a
+  per-node mask (N,) — each with its own loss weight and p-norm order
+  (``*_mask_loss_weight`` / ``*_mask_norm_ord``; node mask disabled by
+  default, weight 0, exactly like the reference);
+- masks initialized at 5.0 (sigmoid ~ 0.993, i.e. "keep everything");
+- ``output_to_explain``: explain a chosen target (e.g. one class logit)
+  instead of the model's own prediction (``GNNExplainer.explain``:357-391).
+
+TPU-native: masks are leaves of an optax optimization; the masked forward
+is jit-compiled once and ``lax.scan``-ned over optimization steps.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -20,60 +29,88 @@ from .base import ImportanceExplanationMethod
 Array = jax.Array
 
 
+def _pnorm(x: Array, ord_: float) -> Array:
+    return jnp.sum(jnp.abs(x) ** ord_) ** (1.0 / ord_)
+
+
 class GNNExplainer(ImportanceExplanationMethod):
     def __init__(self, learning_rate: float = 0.01, epochs: int = 100,
-                 edge_mask_loss: float = 0.005, edge_mask_norm: float = 1.0,
-                 feature_mask_loss: float = 0.005,
+                 edge_mask_loss_weight: float = 1e-4,
+                 edge_mask_norm_ord: float = 1.0,
+                 feature_mask_loss_weight: float = 1e-4,
+                 feature_mask_norm_ord: float = 1.0,
+                 node_mask_loss_weight: float = 0.0,
+                 node_mask_norm_ord: float = 1.0,
                  node_feature_key: str = "node_attributes",
                  output_key: str = "output"):
         self.learning_rate = learning_rate
         self.epochs = epochs
-        self.edge_mask_loss = edge_mask_loss
-        self.feature_mask_loss = feature_mask_loss
+        self.edge_mask_loss_weight = edge_mask_loss_weight
+        self.edge_mask_norm_ord = edge_mask_norm_ord
+        self.feature_mask_loss_weight = feature_mask_loss_weight
+        self.feature_mask_norm_ord = feature_mask_norm_ord
+        self.node_mask_loss_weight = node_mask_loss_weight
+        self.node_mask_norm_ord = node_mask_norm_ord
         self.node_feature_key = node_feature_key
         self.output_key = output_key
 
-    def __call__(self, model_apply: Callable, variables, batch: GraphBatch,
-                 **kwargs) -> Tuple[Array, Array]:
-        """Returns (node_importances (N,), edge_importances (E,))."""
+    def explain(self, model_apply: Callable, variables, batch: GraphBatch,
+                output_to_explain: Optional[Array] = None,
+                **kwargs) -> Dict[str, Array]:
+        """Full explanation dict: {edge_mask (E,), feature_mask (F,),
+        node_mask (N,), losses (epochs,)} — the reference's
+        ``get_explanation`` triple (:408-433) plus the loss history."""
         key = self.node_feature_key if self.node_feature_key in batch.nodes \
             else ("node_number" if "node_number" in batch.nodes else None)
-        base_out = model_apply(variables, batch)[self.output_key]
+        target = model_apply(variables, batch)[self.output_key] \
+            if output_to_explain is None else output_to_explain
 
         feats = batch.nodes[key]
         feat_dim = feats.shape[-1] if feats.ndim > 1 else 1
+        feats_float = jnp.issubdtype(feats.dtype, jnp.floating)
 
+        # reference initializer: Constant(5.) -> sigmoid ~ 0.993
         masks = {
-            "edge": jnp.zeros((batch.n_edge,)),
-            "feat": jnp.zeros((batch.n_node, feat_dim)
-                              if feats.ndim > 1 else (batch.n_node,)),
+            "edge": jnp.full((batch.n_edge,), 5.0),
+            "feature": jnp.full((feat_dim,), 5.0),
+            "node": jnp.full((batch.n_node,), 5.0),
         }
 
         def masked_forward(masks):
             em = jax.nn.sigmoid(masks["edge"])
-            fm = jax.nn.sigmoid(masks["feat"])
+            fm = jax.nn.sigmoid(masks["feature"])
+            nm = jax.nn.sigmoid(masks["node"])
             new_nodes = dict(batch.nodes)
-            if jnp.issubdtype(feats.dtype, jnp.floating):
-                new_nodes[key] = feats * fm
+            if feats_float:
+                scaled = feats * fm[None, :] if feats.ndim > 1 else feats * fm
+                if self.node_mask_loss_weight > 0:
+                    scaled = scaled * nm.reshape(
+                        nm.shape + (1,) * (scaled.ndim - 1))
+                new_nodes[key] = scaled
             b = batch.replace(
                 nodes=new_nodes,
                 edge_mask=batch.edge_mask,  # structural mask unchanged
-                edges={k: (v * em.reshape(em.shape + (1,) * (v.ndim - 1)).astype(v.dtype)
+                edges={k: (v * em.reshape(em.shape + (1,) * (v.ndim - 1))
+                           .astype(v.dtype)
                            if jnp.issubdtype(v.dtype, jnp.floating) else v)
                        for k, v in batch.edges.items()})
-            # edge mask also gates messages via edge weights when present
-            return model_apply(variables, b)[self.output_key], (em, fm)
+            return model_apply(variables, b)[self.output_key], (em, fm, nm)
 
         def loss_fn(masks):
-            out, (em, fm) = masked_forward(masks)
-            pred_loss = jnp.sum((out - base_out) ** 2)
+            out, (em, fm, nm) = masked_forward(masks)
+            loss = jnp.sum((out - target) ** 2)
             em_v = em * batch.edge_mask.astype(em.dtype)
-            size_loss = self.edge_mask_loss * jnp.sum(em_v)
-            ent = -(em_v * jnp.log(em_v + 1e-9)
-                    + (1 - em_v) * jnp.log(1 - em_v + 1e-9))
-            ent_loss = 0.1 * jnp.mean(ent)
-            feat_loss = self.feature_mask_loss * jnp.mean(jax.nn.sigmoid(masks["feat"]))
-            return pred_loss + size_loss + ent_loss + feat_loss
+            if self.edge_mask_loss_weight > 0:
+                loss += self.edge_mask_loss_weight * _pnorm(
+                    em_v, self.edge_mask_norm_ord)
+            if self.feature_mask_loss_weight > 0:
+                loss += self.feature_mask_loss_weight * _pnorm(
+                    fm, self.feature_mask_norm_ord)
+            if self.node_mask_loss_weight > 0:
+                nm_v = nm * batch.node_mask.astype(nm.dtype)
+                loss += self.node_mask_loss_weight * _pnorm(
+                    nm_v, self.node_mask_norm_ord)
+            return loss
 
         opt = optax.adam(self.learning_rate)
         opt_state = opt.init(masks)
@@ -88,8 +125,31 @@ class GNNExplainer(ImportanceExplanationMethod):
 
         (masks, _), losses = jax.lax.scan(step, (masks, opt_state),
                                           None, length=self.epochs)
-        edge_imp = jax.nn.sigmoid(masks["edge"]) * batch.edge_mask
-        feat_imp = jax.nn.sigmoid(masks["feat"])
-        node_imp = feat_imp.mean(axis=-1) if feat_imp.ndim > 1 else feat_imp
-        node_imp = node_imp * batch.node_mask
-        return node_imp, edge_imp
+        return {
+            "edge_mask": jax.nn.sigmoid(masks["edge"]) * batch.edge_mask,
+            "feature_mask": jax.nn.sigmoid(masks["feature"]),
+            "node_mask": jax.nn.sigmoid(masks["node"]) * batch.node_mask,
+            "losses": losses,
+        }
+
+    def __call__(self, model_apply: Callable, variables, batch: GraphBatch,
+                 output_to_explain: Optional[Array] = None,
+                 **kwargs) -> Tuple[Array, Array]:
+        """ImportanceExplanationMethod API: (node_importances (N,),
+        edge_importances (E,)). Node importances come from the node mask
+        when it is being optimized, else from the feature-mask-weighted
+        feature magnitudes (the reference's present_explanation default)."""
+        ex = self.explain(model_apply, variables, batch,
+                          output_to_explain=output_to_explain, **kwargs)
+        key = self.node_feature_key if self.node_feature_key in batch.nodes \
+            else ("node_number" if "node_number" in batch.nodes else None)
+        feats = batch.nodes[key]
+        if self.node_mask_loss_weight > 0:
+            node_imp = ex["node_mask"]
+        elif feats.ndim > 1 and jnp.issubdtype(feats.dtype, jnp.floating):
+            weighted = jnp.abs(feats) * ex["feature_mask"][None, :]
+            node_imp = weighted.mean(axis=-1) * batch.node_mask
+        else:
+            node_imp = jnp.broadcast_to(ex["feature_mask"].mean(),
+                                        (batch.n_node,)) * batch.node_mask
+        return node_imp, ex["edge_mask"]

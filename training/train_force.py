@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--energy-weight", type=float, default=1.0)
     ap.add_argument("--force-weight", type=float, default=50.0)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--folds", type=int, default=1,
+                    help="k-fold cross-validation like the reference's "
+                         "5-fold protocol; score rows then carry real +-")
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--n-devices", type=int, default=None,
                     help="data-parallel over the first N devices "
@@ -99,16 +102,14 @@ def main():
         for g in ds:
             g["edge_indices"] = g["range_indices"]
 
-    # split + scaler (fit on train only)
+    # k-fold split + scaler (fit on train only), reference 5-fold protocol
     rs = np.random.RandomState(args.seed)
     idx = rs.permutation(len(ds))
-    n_test = max(len(ds) // 5, 1)
-    test_idx, train_idx = idx[:n_test], idx[n_test:]
-    train, test = ds[train_idx], ds[test_idx]
-    scaler = EnergyForceExtensiveLabelScaler()
-    scaler.fit_dataset(train)
-    scaler.transform_dataset(train)
-    scaler.transform_dataset(test)
+    k = max(args.folds, 1)
+    fold_size = max(len(ds) // max(k, 5), 1)
+    folds = [(idx[f * fold_size:(f + 1) * fold_size],
+              np.concatenate([idx[:f * fold_size], idx[(f + 1) * fold_size:]]))
+             for f in range(k)]
 
     # Multi-host runtime + mesh (no-ops in single-process / single-device
     # runs, so every invocation goes through the same Trainer path)
@@ -116,19 +117,65 @@ def main():
         from gcnn_keras_tpu.parallel.distributed import (
             maybe_initialize_distributed, host_shard_indices)
         maybe_initialize_distributed()
-        train = train[host_shard_indices(len(train), seed=args.seed)]
     mesh = None
     if args.n_devices and args.n_devices > 1:
         from gcnn_keras_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(args.n_devices)
 
+    histories, times = [], []
+    for fold, (test_idx, train_idx) in enumerate(folds):
+        hist, elapsed, params, state, scaler = _run_fold(
+            args, ds, train_idx, test_idx, energy_model, optimizer, mesh,
+            extra_batch_kwargs, fold)
+        histories.append(hist)
+        times.append(elapsed)
+
+    if args.checkpoint_dir:
+        from gcnn_keras_tpu.utils.checkpoint import save_checkpoint
+        save_checkpoint(args.checkpoint_dir, params, opt_state=state.opt_state,
+                        step=args.epochs)
+        scaler.save(f"{args.checkpoint_dir}/scaler.json")
+
+    scale = float(scaler.scale_[0])
+    score = save_history_score(
+        histories, f"results/force/{args.model}_score.yaml",
+        model_name=args.model, dataset_name="SyntheticMD",
+        seed=args.seed, time_list=times)
+    vf = [h["val_force_mae"][-1] * scale for h in histories]
+    ve = [h["val_energy_mae"][-1] * scale for h in histories]
+    print(json.dumps({
+        "val_force_mae_scaled": float(np.mean(vf)),
+        "val_force_mae_scaled_std": float(np.std(vf)),
+        "val_energy_mae_scaled": float(np.mean(ve)),
+        "val_energy_mae_scaled_std": float(np.std(ve)),
+        "folds": k, "time_s": float(np.sum(times))}))
+
+
+def _run_fold(args, ds, train_idx, test_idx, energy_model, optimizer, mesh,
+              extra_batch_kwargs, fold):
+    import jax
+    import time
+    from gcnn_keras_tpu.data.scalers import EnergyForceExtensiveLabelScaler
+    from gcnn_keras_tpu.data.loader import GraphBatchLoader
+    from gcnn_keras_tpu.model.force import EnergyForceModel
+    from gcnn_keras_tpu.training.losses import masked_graph_mae, masked_node_mae
+
+    train, test = ds[train_idx], ds[test_idx]
+    if args.distributed:
+        from gcnn_keras_tpu.parallel.distributed import host_shard_indices
+        train = train[host_shard_indices(len(train), seed=args.seed)]
+    scaler = EnergyForceExtensiveLabelScaler()
+    scaler.fit_dataset(train)
+    scaler.transform_dataset(train)
+    scaler.transform_dataset(test)
+
     hint = train.batch_shape_hint(args.batch_size)
     loader = GraphBatchLoader(list(train), args.batch_size, shuffle=True,
-                              seed=args.seed, global_keys=("energy",),
+                              seed=args.seed + fold, global_keys=("energy",),
                               **hint, **extra_batch_kwargs)
     fmodel = EnergyForceModel(energy_model)
     first = next(iter(loader))
-    params = fmodel.init(jax.random.PRNGKey(args.seed), first)
+    params = fmodel.init(jax.random.PRNGKey(args.seed + fold), first)
 
     def loss_fn(p, b):
         out = fmodel.apply(p, b)
@@ -168,25 +215,10 @@ def main():
         hist["val_energy_mae"].append(ve)
         hist["val_force_mae"].append(vf)
         if epoch % 10 == 0 or epoch == args.epochs - 1:
-            print(f"epoch {epoch}: loss={hist['loss'][-1]:.4f} "
+            print(f"fold {fold} epoch {epoch}: loss={hist['loss'][-1]:.4f} "
                   f"val_E_mae={ve:.4f} val_F_mae={vf:.4f}")
     elapsed = time.perf_counter() - t0
-
-    if args.checkpoint_dir:
-        from gcnn_keras_tpu.utils.checkpoint import save_checkpoint
-        save_checkpoint(args.checkpoint_dir, params, opt_state=state.opt_state,
-                        step=args.epochs)
-        scaler.save(f"{args.checkpoint_dir}/scaler.json")
-
-    scale = float(scaler.scale_[0])
-    score = save_history_score(
-        [hist], f"results/force/{args.model}_score.yaml",
-        model_name=args.model, dataset_name="SyntheticMD",
-        seed=args.seed, time_list=[elapsed])
-    print(json.dumps({
-        "val_force_mae_scaled": hist["val_force_mae"][-1] * scale,
-        "val_energy_mae_scaled": hist["val_energy_mae"][-1] * scale,
-        "time_s": elapsed}))
+    return hist, elapsed, params, state, scaler
 
 
 if __name__ == "__main__":
