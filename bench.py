@@ -1,9 +1,11 @@
-"""Benchmark: edges/sec/chip on the SchNet energy+force training step.
+"""Benchmark: edges/sec/chip on the SchNet energy+force training step,
+plus the flagship HDNNP4th energy+force+charge step and roofline counters.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-The reference publishes no throughput numbers (BASELINE.md), so
-``vs_baseline`` compares against a recorded reference point of this repo's
-first measurement (stored in BENCH_BASE, updated only when hardware changes).
+Prints ONE JSON line. Primary fields {"metric", "value", "unit",
+"vs_baseline"} track the SchNet step (the regression anchor BENCH_BASE);
+extra fields carry ms/step, XLA-reported bytes+FLOPs, achieved GB/s and
+TFLOP/s (roofline position), and the HDNNP4th flagship sub-record
+(edges+angles/s and the Qeq charge-solve time).
 """
 import json
 import time
@@ -24,24 +26,15 @@ import numpy as np
 # work; the measured speedup is real utilization, not metric inflation.
 BENCH_BASE = 3.5e6
 
+# TPU v5e single-chip peaks for roofline fractions
+HBM_PEAK_GBPS = 819.0
+F32_PEAK_TFLOPS = 98.5  # v5e bf16 peak 197 TFLOP/s; f32 ~ half
 
-def main():
-    import jax
-    # persistent compile cache: repeat bench runs skip the ~4 min compile
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    import jax.numpy as jnp
-    import optax
 
-    from gcnn_keras_tpu.batch import batch_graphs
-    from gcnn_keras_tpu.graph.preprocess import set_range
-    from gcnn_keras_tpu.models.schnet import make_model
-    from gcnn_keras_tpu.model.force import EnergyForceModel
-    from gcnn_keras_tpu.training.losses import masked_graph_mae, masked_node_mae
+def _mols(rs, n_mols, with_esp=False):
+    from gcnn_keras_tpu.graph.preprocess import set_range, set_angle
 
-    rs = np.random.RandomState(0)
     graphs = []
-    n_mols = 512  # saturating batch (~55k edges); see BENCH_BASE note
     for _ in range(n_mols):
         n = rs.randint(12, 21)  # QM9-like molecule sizes
         g = {
@@ -52,13 +45,48 @@ def main():
         g = set_range(g, max_distance=4.0, max_neighbours=25)
         g["edge_indices"] = g.pop("range_indices")
         g["force"] = (rs.randn(n, 3) * 0.1).astype(np.float32)
+        if with_esp:
+            g = set_angle(g, range_indices="edge_indices")
+            g["esp"] = (rs.randn(n) * 0.02).astype(np.float32)
+            g["esp_grad"] = (rs.randn(n, 3) * 0.02).astype(np.float32)
+            g["total_charge"] = np.zeros((1,), dtype=np.float32)
+            g["charge"] = (rs.randn(n) * 0.1).astype(np.float32)
         graphs.append(g)
+    return graphs
 
-    batch = batch_graphs(graphs, global_keys=("energy",))
+
+def _timeit(fn, args, iters):
+    import jax
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters, out
+
+
+def _cost(jitted, *args):
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+    except Exception:
+        return 0.0, 0.0
+
+
+def bench_schnet(jax, jnp, optax):
+    from gcnn_keras_tpu.batch import batch_graphs
+    from gcnn_keras_tpu.models.schnet import make_model
+    from gcnn_keras_tpu.model.force import EnergyForceModel
+    from gcnn_keras_tpu.training.losses import masked_graph_mae, masked_node_mae
+
+    rs = np.random.RandomState(0)
+    batch = batch_graphs(_mols(rs, 512), global_keys=("energy",))
     n_real_edges = int(np.asarray(batch.edge_mask).sum())
 
-    model = make_model()  # reference default config: 128 units, depth 4
-    fmodel = EnergyForceModel(model)
+    fmodel = EnergyForceModel(make_model())  # reference defaults: 128u, d4
     params = fmodel.init(jax.random.PRNGKey(0), batch, train=False)
 
     def loss_fn(params, b):
@@ -78,25 +106,121 @@ def main():
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    # warmup / compile
-    params, opt_state, loss = step(params, opt_state, batch)
-    jax.block_until_ready((params, opt_state, loss))
+    dt, _ = _timeit(step, (params, opt_state, batch), iters=50)
+    flops, bytes_acc = _cost(step, params, opt_state, batch)
+    return {
+        "edges_per_sec": n_real_edges / dt,
+        "ms_per_step": dt * 1e3,
+        "flops_per_step": flops,
+        "bytes_per_step": bytes_acc,
+        "achieved_gbps": bytes_acc / dt / 1e9,
+        "achieved_tflops": flops / dt / 1e12,
+        "hbm_frac": bytes_acc / dt / 1e9 / HBM_PEAK_GBPS,
+        "mfu_f32": flops / dt / 1e12 / F32_PEAK_TFLOPS,
+    }
 
-    iters = 50
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        params, opt_state, loss = step(params, opt_state, batch)
-    # sync on the FULL output tree, not just the scalar loss
-    jax.block_until_ready((params, opt_state, loss))
-    dt = time.perf_counter() - t0
 
-    edges_per_sec = n_real_edges * iters / dt
-    print(json.dumps({
+def bench_hdnnp4th(jax, jnp, optax):
+    """Flagship: HDNNP4th charge+energy+force train step (ACSF G2+G4,
+    Qeq solve, electrostatics, QM/MM, ESP force coupling)."""
+    from gcnn_keras_tpu.batch import batch_graphs
+    from gcnn_keras_tpu.models.hdnnp4th import make_model_behler
+    from gcnn_keras_tpu.model.force import EnergyForceModel
+    from gcnn_keras_tpu.layers.conv.hdnnp_electro import CENTCharge
+    from gcnn_keras_tpu.training.losses import masked_graph_mae, masked_node_mae
+
+    rs = np.random.RandomState(1)
+    graphs = _mols(rs, 128, with_esp=True)
+    batch = batch_graphs(graphs, global_keys=("energy", "total_charge"))
+    n_edges = int(np.asarray(batch.edge_mask).sum())
+    n_angles = int(np.asarray(batch.angle_mask).sum()) \
+        if batch.angle_mask is not None else 0
+
+    elements = [1, 6, 7, 8, 9]
+    model = make_model_behler(
+        g2_kwargs={"eta": [0.0, 0.3], "rs": [0.0, 3.0], "rc": 4.0,
+                   "elements": elements},
+        g4_kwargs={"eta": [0.0, 0.3], "lamda": [-1.0, 1.0], "rc": 4.0,
+                   "zeta": [1.0, 8.0], "elements": elements,
+                   "multiplicity": 2.0},
+        mlp_charge_kwargs={"units": [64, 64, 1], "num_relations": 10,
+                           "activation": ["swish", "swish", "linear"]},
+        mlp_local_kwargs={"units": [64, 64, 1], "num_relations": 10,
+                          "activation": ["swish", "swish", "linear"]})
+    fmodel = EnergyForceModel(model, use_esp_coupling=True)
+    params = fmodel.init(jax.random.PRNGKey(0), batch, train=False)
+
+    def loss_fn(params, b):
+        out = fmodel.apply(params, b, train=False)
+        e_loss = masked_graph_mae(out["energy"], b.globals["energy"],
+                                  b.globals["graph_mask"])
+        f_loss = masked_node_mae(out["force"], b.nodes["force"], b.node_mask)
+        q_loss = masked_node_mae(out["charge"], b.nodes["charge"], b.node_mask)
+        return 50.0 * q_loss + e_loss + 200.0 * f_loss, {}
+
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def step(params, opt_state, b):
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, b)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    dt, _ = _timeit(step, (params, opt_state, batch), iters=20)
+
+    # Qeq dense charge solve alone (the reference's O(M^3) wall)
+    chi = jnp.asarray(np.random.RandomState(2).randn(batch.n_node)
+                      .astype(np.float32))
+    cent = CENTCharge(solver="dense")
+
+    @jax.jit
+    def qeq_only(b, chi):
+        return cent.apply({}, b, chi)
+
+    qeq_dt, _ = _timeit(qeq_only, (batch, chi), iters=20)
+    return {
+        "edges_per_sec": n_edges / dt,
+        "angles_per_sec": n_angles / dt,
+        "ms_per_step": dt * 1e3,
+        "qeq_solve_ms": qeq_dt * 1e3,
+    }
+
+
+def main():
+    import jax
+    # persistent compile cache: repeat bench runs skip the ~4 min compile
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import optax
+
+    schnet = bench_schnet(jax, jnp, optax)
+    hdnnp = bench_hdnnp4th(jax, jnp, optax)
+
+    record = {
         "metric": "schnet_energy_force_train_edges_per_sec_per_chip",
-        "value": round(edges_per_sec, 1),
+        "value": round(schnet["edges_per_sec"], 1),
         "unit": "edges/s",
-        "vs_baseline": round(edges_per_sec / BENCH_BASE, 4),
-    }))
+        "vs_baseline": round(schnet["edges_per_sec"] / BENCH_BASE, 4),
+        "ms_per_step": round(schnet["ms_per_step"], 3),
+        # bytes/GB/s are XLA cost-analysis UPPER BOUNDS: pallas kernels get
+        # their full HBM operands re-counted per grid step, so hbm_frac can
+        # exceed 1.0; treat as relative regression signal, not absolute
+        "bytes_per_step": schnet["bytes_per_step"],
+        "achieved_gbps": round(schnet["achieved_gbps"], 1),
+        "achieved_tflops": round(schnet["achieved_tflops"], 2),
+        "hbm_frac": round(schnet["hbm_frac"], 3),
+        "mfu_f32": round(schnet["mfu_f32"], 4),
+        "hdnnp4th": {
+            "edges_per_sec": round(hdnnp["edges_per_sec"], 1),
+            "angles_per_sec": round(hdnnp["angles_per_sec"], 1),
+            "ms_per_step": round(hdnnp["ms_per_step"], 3),
+            "qeq_solve_ms": round(hdnnp["qeq_solve_ms"], 3),
+        },
+    }
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

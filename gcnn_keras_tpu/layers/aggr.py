@@ -60,13 +60,19 @@ def pool_edges_to_nodes(batch: GraphBatch, edge_values: Array,
 
 
 def gather_mul_pool_edges(batch: GraphBatch, nodes: Array,
-                          edge_filter: Array, mode: str = "sum") -> Array:
-    """Fused ``out[r] = sum_e nodes[senders[e]] * edge_filter[e]`` — the
-    cfconv hot chain. On TPU with large sorted batches this dispatches to
-    the Pallas fused kernel (``ops/pallas/fused_aggregate.py``) which never
-    materializes the gathered (E, F) tensor in HBM; otherwise the plain
-    gather-multiply-segment chain."""
-    if mode == "sum":
+                          edge_filter: Array, mode: str = "sum",
+                          fused: bool = False) -> Array:
+    """``out[r] = sum_e nodes[senders[e]] * edge_filter[e]`` — the cfconv
+    hot chain.
+
+    ``fused=True`` dispatches to the Pallas fused kernel
+    (``ops/pallas/fused_aggregate.py``), which never materializes the
+    gathered (E, F) tensor in HBM — measured 1.2-1.75x faster FORWARD on
+    v5e at bench shapes, so it pays off for inference/MD. It stays OFF by
+    default because in grad-of-grad TRAINING its custom_vjp backward costs
+    more than the forward saves (A/B on the full SchNet train step:
+    12.7 ms unfused vs 14.3 ms fused — PERF.md r2)."""
+    if fused and mode == "sum":
         from ..ops.pallas.fused_aggregate import gather_mul_segsum_auto
         return gather_mul_segsum_auto(
             nodes, edge_filter, batch.senders, batch.receivers,

@@ -29,6 +29,9 @@ class SchNetCFconv(nn.Module):
     use_bias: bool = True
     cfconv_pool: str = "sum"
     dtype: Any = None
+    # Pallas fused gather*filter->segment-sum: faster FORWARD (inference/MD),
+    # slower in grad-of-grad training — see gather_mul_pool_edges
+    fused_aggregate: bool = False
 
     @nn.compact
     def __call__(self, batch: GraphBatch, nodes: Array, edge_basis: Array) -> Array:
@@ -36,8 +39,8 @@ class SchNetCFconv(nn.Module):
                   dtype=self.dtype, name="filter_1")(edge_basis)
         f = Dense(self.units, activation="linear", use_bias=self.use_bias,
                   dtype=self.dtype, name="filter_2")(f)
-        # fused gather*filter->segment-sum (Pallas on TPU for large batches)
-        return gather_mul_pool_edges(batch, nodes, f, mode=self.cfconv_pool)
+        return gather_mul_pool_edges(batch, nodes, f, mode=self.cfconv_pool,
+                                     fused=self.fused_aggregate)
 
 
 class SchNetInteraction(nn.Module):
@@ -46,6 +49,7 @@ class SchNetInteraction(nn.Module):
     use_bias: bool = True
     cfconv_pool: str = "sum"
     dtype: Any = None
+    fused_aggregate: bool = False
 
     @nn.compact
     def __call__(self, batch: GraphBatch, nodes: Array, edge_basis: Array) -> Array:
@@ -53,7 +57,8 @@ class SchNetInteraction(nn.Module):
                   dtype=self.dtype, name="pre")(nodes)
         x = SchNetCFconv(self.units, activation=self.activation,
                          use_bias=self.use_bias, cfconv_pool=self.cfconv_pool,
-                         dtype=self.dtype, name="cfconv")(batch, x, edge_basis)
+                         dtype=self.dtype, fused_aggregate=self.fused_aggregate,
+                         name="cfconv")(batch, x, edge_basis)
         x = Dense(self.units, activation=self.activation, use_bias=self.use_bias,
                   dtype=self.dtype, name="post_1")(x)
         x = Dense(self.units, activation="linear", use_bias=self.use_bias,

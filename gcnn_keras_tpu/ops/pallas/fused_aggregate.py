@@ -34,13 +34,33 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .segment_sum import onehot_dot
+
 Array = jax.Array
 
 N_BLK = 128
-E_BLK = 512
+E_BLK = 1024
 
 
-def _make_kernel(w_win: int, n_pad: int, m_pad: int):
+def _onehot_dot_t(onehot_t: Array, mat: Array, exact: bool) -> Array:
+    """(K, E)^T-style contraction over the FIRST axis of both operands:
+    returns (E, F) = onehot_t^T @ mat. Same bf16-split pass economics as
+    ``segment_sum.onehot_dot`` (one-hot side exact in bf16)."""
+    dims = (((0,), (0,)), ((), ()))
+    if exact:
+        return jax.lax.dot_general(
+            onehot_t, mat, dims, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+    oh = onehot_t.astype(jnp.bfloat16)
+    hi = mat.astype(jnp.bfloat16)
+    lo = (mat - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = jax.lax.dot_general(oh, hi, dims,
+                              preferred_element_type=jnp.float32)
+    return out + jax.lax.dot_general(oh, lo, dims,
+                                     preferred_element_type=jnp.float32)
+
+
+def _make_kernel(w_win: int, n_pad: int, m_pad: int, exact: bool):
     def kernel(off_ref, recv_hbm, send_hbm, filt_hbm, x_hbm, out_ref,
                acc, xwin, fscr, sscr, rscr, sems, xsem):
         i = pl.program_id(0)
@@ -102,17 +122,10 @@ def _make_kernel(w_win: int, n_pad: int, m_pad: int):
             # (W, E_BLK) one-hot of sender-within-window
             onehot_g = (col_ids == send_rel).astype(jnp.float32)
             # xj (E_BLK, F) = onehot_g^T @ xwin  — contraction over W
-            xj = jax.lax.dot_general(
-                onehot_g, xwin[...],
-                (((0,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)
+            xj = _onehot_dot_t(onehot_g, xwin[...], exact)
             prod = xj * fscr[slot]
             onehot_r = (rscr[slot] == row_ids).astype(jnp.float32)
-            acc[...] += jax.lax.dot_general(
-                onehot_r, prod, (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)
+            acc[...] += onehot_dot(onehot_r, prod, exact)
             return ()
 
         jax.lax.fori_loop(0, num_chunks, body, (), unroll=False)
@@ -122,10 +135,12 @@ def _make_kernel(w_win: int, n_pad: int, m_pad: int):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("num_segments", "max_nodes", "interpret"))
+                   static_argnames=("num_segments", "max_nodes", "interpret",
+                                    "exact"))
 def _fused_gather_mul_segsum(x: Array, filt: Array, senders: Array,
                              receivers: Array, num_segments: int,
-                             max_nodes: int, interpret: bool = False) -> Array:
+                             max_nodes: int, interpret: bool = False,
+                             exact: bool = False) -> Array:
     e, f_in = filt.shape
     n_in = x.shape[0]
     n_pad = ((max(num_segments, n_in) + N_BLK - 1) // N_BLK) * N_BLK
@@ -171,7 +186,7 @@ def _fused_gather_mul_segsum(x: Array, filt: Array, senders: Array,
         ],
     )
     out = pl.pallas_call(
-        _make_kernel(w_win, n_pad, m_pad),
+        _make_kernel(w_win, n_pad, m_pad, exact),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, f), filt.dtype),
         interpret=interpret,
@@ -181,7 +196,8 @@ def _fused_gather_mul_segsum(x: Array, filt: Array, senders: Array,
 
 def fused_gather_mul_segsum(x: Array, filt: Array, senders: Array,
                             receivers: Array, num_segments: int,
-                            max_nodes: int, interpret: bool = False) -> Array:
+                            max_nodes: int, interpret: bool = False,
+                            exact: bool = False) -> Array:
     """``out[r] = sum_{e: recv[e]=r} x[send[e]] * filt[e]`` for
     RECEIVER-SORTED edges whose graphs are node-contiguous (the GraphBatch
     invariant). Bilinear custom_vjp: backward is plain differentiable JAX,
@@ -191,7 +207,7 @@ def fused_gather_mul_segsum(x: Array, filt: Array, senders: Array,
     def f(x, filt):
         return _fused_gather_mul_segsum(x, filt, senders, receivers,
                                         num_segments, max_nodes,
-                                        interpret=interpret)
+                                        interpret=interpret, exact=exact)
 
     def f_fwd(x, filt):
         return f(x, filt), (x, filt)
