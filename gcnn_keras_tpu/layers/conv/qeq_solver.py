@@ -140,3 +140,88 @@ def solve_qeq_iterative_batch(pos: Array, sigma: Array, hardness_diag: Array,
     """vmap of ``solve_qeq_iterative`` over the molecule axis G."""
     fn = partial(solve_qeq_iterative, block=block, tol=tol, maxiter=maxiter)
     return jax.vmap(fn)(pos, sigma, hardness_diag, chi, qtot, mask)
+
+
+# ------------------------------------------- mesh-sharded giant molecule ---
+
+def solve_qeq_iterative_sharded(pos: Array, sigma: Array,
+                                hardness_diag: Array, chi: Array,
+                                qtot: Array, mask: Array, mesh: Mesh,
+                                axis: str = "data", tol: float = 1e-6,
+                                maxiter: Optional[int] = None) -> Array:
+    """ONE giant molecule's Qeq solve with the matvec ROWS sharded over the
+    mesh — the full distributed long-range electrostatics capability
+    (SURVEY §5 "distributed Qeq"; no reference counterpart).
+
+    Each device owns M/D rows: per CG iteration it all-gathers the small
+    (M,) iterate over ICI and computes its row block of the erf-kernel
+    matvec locally — O(M^2/D) work and O(M * M/D) peak memory per device,
+    never a materialized M x M. The CG loop itself runs replicated (scalars
+    psum-reduced implicitly by the sharded matvec's math). M must be
+    divisible by the mesh size (pad with masked rows).
+    """
+    from jax import shard_map
+
+    m = pos.shape[0]
+    d = mesh.shape[axis]
+    assert m % d == 0, f"pad M={m} to a multiple of the mesh size {d}"
+    maskf = mask.astype(pos.dtype)
+
+    def matvec_local(pos_loc, sig_loc, diag_loc, mask_loc, pos_all, sig_all,
+                     mask_all, q_all):
+        """(M/D,) rows of A @ q on this shard."""
+        m_loc = pos_loc.shape[0]
+        diff = pos_loc[:, None, :] - pos_all[None, :, :]
+        dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
+        gamma = jnp.sqrt(sig_loc[:, None] ** 2 + sig_all[None, :] ** 2 + 1e-12)
+        off = jax.scipy.special.erf(dist / (gamma * math.sqrt(2.0))) / dist
+        # zero diagonal: this shard's global row r sits at column r
+        i = jax.lax.axis_index(axis)
+        row_g = jax.lax.broadcasted_iota(jnp.int32, (m_loc, pos_all.shape[0]),
+                                         0) + i * m_loc
+        col_g = jax.lax.broadcasted_iota(jnp.int32, (m_loc, pos_all.shape[0]),
+                                         1)
+        off = jnp.where(row_g == col_g, 0.0, off) * mask_all[None, :]
+        return (off @ q_all) * mask_loc + diag_loc * \
+            jax.lax.dynamic_slice(q_all, (i * m_loc,), (m_loc,))
+
+    def device_solve(pos_s, sig_s, diag_s, mask_s, chi_rep, qtot_rep,
+                     mask_rep):
+        pos_loc, sig_loc = pos_s[0], sig_s[0]
+        diag_loc, mask_loc = diag_s[0], mask_s[0]
+        pos_all = jax.lax.all_gather(pos_loc, axis, tiled=True)
+        sig_all = jax.lax.all_gather(sig_loc, axis, tiled=True)
+        mask_all = jax.lax.all_gather(mask_loc, axis, tiled=True)
+
+        def matvec(q):
+            local = matvec_local(pos_loc, sig_loc, diag_loc, mask_loc,
+                                 pos_all, sig_all, mask_all, q)
+            return jax.lax.all_gather(local, axis, tiled=True)
+
+        inv_diag_all = jax.lax.all_gather(
+            1.0 / jnp.maximum(diag_loc, 1e-6), axis, tiled=True)
+        precond = lambda x: inv_diag_all * x
+
+        def cg(b):
+            x, _ = jax.scipy.sparse.linalg.cg(matvec, b, tol=tol, M=precond,
+                                              maxiter=maxiter)
+            return x
+
+        ones = mask_rep
+        x1 = cg(chi_rep * mask_rep)
+        x2 = cg(ones)
+        denom = jnp.sum(ones * x2)
+        lam = (jnp.sum(ones * x1) - qtot_rep) / jnp.where(denom != 0,
+                                                          denom, 1.0)
+        q = (x1 - lam * x2) * mask_rep
+        return q
+
+    from jax.sharding import PartitionSpec as P
+    fn = shard_map(device_solve, mesh=mesh,
+                   in_specs=(P(axis), P(axis), P(axis), P(axis),
+                             P(), P(), P()),
+                   out_specs=P(), check_vma=False)
+    ml = m // d
+    return fn(pos.reshape(d, ml, 3), sigma.reshape(d, ml),
+              hardness_diag.reshape(d, ml),
+              maskf.reshape(d, ml), chi, qtot, maskf)

@@ -124,3 +124,24 @@ def test_centcharge_iterative_matches_dense_path():
     for i, g in enumerate(graphs):
         got = qs[(gid == i) & np.asarray(batch.node_mask)].sum()
         assert abs(got - float(g["total_charge"][0])) < 1e-4
+
+
+def test_sharded_iterative_matches_single_device():
+    """Mesh-sharded matvec rows (one giant molecule distributed over the
+    mesh) must match the single-device iterative solve — the distributed
+    long-range electrostatics capability (SURVEY §5 distributed Qeq)."""
+    if jax.device_count() < 2:
+        pytest.skip("needs multiple devices")
+    from gcnn_keras_tpu.parallel.mesh import make_mesh
+    from gcnn_keras_tpu.layers.conv.qeq_solver import (
+        solve_qeq_iterative_sharded)
+
+    z, pos, mask, chi, sigma, hard = _system(m=1024, n_real=1000)
+    mesh = make_mesh(min(8, jax.device_count()))
+    args = (jnp.asarray(pos), jnp.asarray(sigma), jnp.asarray(hard),
+            jnp.asarray(chi), jnp.asarray(np.float32(1.0)),
+            jnp.asarray(mask))
+    q_single = np.asarray(solve_qeq_iterative(*args, tol=1e-8))
+    q_shard = np.asarray(solve_qeq_iterative_sharded(*args, mesh, tol=1e-8))
+    np.testing.assert_allclose(q_shard, q_single, atol=5e-5)
+    assert abs(q_shard.sum() - 1.0) < 1e-4

@@ -27,9 +27,19 @@ def main(results_dir: str = "results", out_file: str = "results/README.md"):
              "|---|---|---|---|"]
     for r in rows:
         lines.append("| " + " | ".join(str(x) for x in r) + " |")
-    os.makedirs(os.path.dirname(out_file), exist_ok=True)
+    # preserve the auto-maintained head-to-head section
+    # (tools/headtohead/summarize.py) across regenerations
+    extra = ""
+    if os.path.exists(out_file):
+        with open(out_file) as f:
+            old = f.read()
+        begin = old.find("<!-- headtohead:begin -->")
+        end = old.find("<!-- headtohead:end -->")
+        if begin >= 0 and end >= 0:
+            extra = "\n" + old[begin:end + len("<!-- headtohead:end -->")] + "\n"
+    os.makedirs(os.path.dirname(out_file) or ".", exist_ok=True)
     with open(out_file, "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines) + "\n" + extra)
     print(f"wrote {out_file} with {len(rows)} rows")
 
 
