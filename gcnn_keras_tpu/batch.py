@@ -386,6 +386,12 @@ def batch_graphs(
             edges["edge_slot"] = (np.arange(E) - starts).astype(np.int32)
         else:
             edges["edge_slot"] = np.zeros(0, dtype=np.int32)
+        # stable permutation into SENDER-sorted order, computed once at
+        # build: the TRANSPOSE of the aggregation (d_x scatters by sender)
+        # becomes a sorted Pallas segment-sum instead of an XLA scatter
+        # (ops/pallas/fused_aggregate.py backward)
+        edges["sender_perm"] = np.argsort(senders, kind="stable") \
+            .astype(np.int32)
 
     if compute_reverse_edges:
         # global reverse-edge position per edge (self if no reverse exists) —

@@ -76,9 +76,17 @@ def gather_mul_pool_edges(batch: GraphBatch, nodes: Array,
         from ..ops.pallas.fused_aggregate import gather_mul_segsum_auto
         return gather_mul_segsum_auto(
             nodes, edge_filter, batch.senders, batch.receivers,
-            batch.n_node, batch.max_nodes, indices_are_sorted=True)
-    return pool_edges_to_nodes(batch, gather_nodes(nodes, batch.senders)
-                               * edge_filter, mode=mode)
+            batch.n_node, batch.max_nodes, indices_are_sorted=True,
+            sender_perm=batch.edges.get("sender_perm"))
+    perm = batch.edges.get("sender_perm")
+    if perm is not None:
+        # unfused path, but with the gather's TRANSPOSE (the backward's
+        # scatter-by-sender) routed through the sorted Pallas segment-sum
+        from ..ops.pallas.fused_aggregate import gather_with_sorted_transpose
+        xj = gather_with_sorted_transpose(nodes, batch.senders, perm)
+    else:
+        xj = gather_nodes(nodes, batch.senders)
+    return pool_edges_to_nodes(batch, xj * edge_filter, mode=mode)
 
 
 def pool_weighted_edges_to_nodes(batch: GraphBatch, edge_values: Array,

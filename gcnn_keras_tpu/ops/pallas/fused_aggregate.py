@@ -197,11 +197,16 @@ def _fused_gather_mul_segsum(x: Array, filt: Array, senders: Array,
 def fused_gather_mul_segsum(x: Array, filt: Array, senders: Array,
                             receivers: Array, num_segments: int,
                             max_nodes: int, interpret: bool = False,
-                            exact: bool = False) -> Array:
+                            exact: bool = False,
+                            sender_perm: Optional[Array] = None) -> Array:
     """``out[r] = sum_{e: recv[e]=r} x[send[e]] * filt[e]`` for
     RECEIVER-SORTED edges whose graphs are node-contiguous (the GraphBatch
     invariant). Bilinear custom_vjp: backward is plain differentiable JAX,
-    so reverse-over-reverse (force-loss training) works."""
+    so reverse-over-reverse (force-loss training) works.
+
+    ``sender_perm`` (E,) — build-time stable argsort of senders
+    (``batch.edges['sender_perm']``): routes the backward's d_x through the
+    SORTED Pallas segment-sum instead of XLA's serialized scatter-add."""
 
     @jax.custom_vjp
     def f(x, filt):
@@ -216,18 +221,62 @@ def fused_gather_mul_segsum(x: Array, filt: Array, senders: Array,
         x, filt = res
         ct_e = jnp.take(ct, receivers, axis=0, mode="clip")
         d_filt = jnp.take(x, senders, axis=0, mode="clip") * ct_e
-        d_x = jax.ops.segment_sum(ct_e * filt, senders, x.shape[0])
+        vals = ct_e * filt
+        if sender_perm is not None and not interpret \
+                and jax.default_backend() == "tpu":
+            from .segment_sum import sorted_segment_sum_pallas
+            d_x = sorted_segment_sum_pallas(
+                jnp.take(vals, sender_perm, axis=0),
+                jnp.take(senders, sender_perm, axis=0).astype(jnp.int32),
+                x.shape[0], exact=exact)
+        else:
+            d_x = jax.ops.segment_sum(vals, senders, x.shape[0],
+                                      indices_are_sorted=False)
         return d_x.astype(x.dtype), d_filt.astype(filt.dtype)
 
     f.defvjp(f_fwd, f_bwd)
     return f(x, filt)
 
 
+def gather_with_sorted_transpose(values: Array, indices: Array,
+                                 sender_perm: Array,
+                                 min_edges: int = 16384) -> Array:
+    """``values[(N, F)][indices (E,)]`` whose TRANSPOSE (the scatter-add by
+    sender that dominates every message-passing backward) runs as the
+    sorted Pallas segment-sum over the build-time sender permutation
+    instead of XLA's serialized scatter.
+
+    Gather is linear in ``values``, so ``linear_call`` keeps
+    arbitrary-order AD (grad-of-grad force training) — the transpose of the
+    transpose is the gather again."""
+    from jax.custom_derivatives import linear_call
+
+    use_pallas = (values.ndim == 2 and values.dtype == jnp.float32
+                  and indices.shape[0] >= min_edges
+                  and jax.default_backend() == "tpu")
+    if not use_pallas:
+        return jnp.take(values, indices, axis=0)
+
+    n = values.shape[0]
+    from .segment_sum import sorted_segment_sum_pallas
+    idx_sorted = jnp.take(indices, sender_perm, axis=0).astype(jnp.int32)
+
+    def fwd(res, v):
+        return jnp.take(v, indices, axis=0)
+
+    def trans(res, ct):
+        return sorted_segment_sum_pallas(
+            jnp.take(ct, sender_perm, axis=0), idx_sorted, n)
+
+    return linear_call(fwd, trans, (), values)
+
+
 def gather_mul_segsum_auto(x: Array, filt: Array, senders: Array,
                            receivers: Array, num_segments: int,
                            max_nodes: Optional[int],
                            indices_are_sorted: bool = False,
-                           min_edges: int = 16384) -> Array:
+                           min_edges: int = 16384,
+                           sender_perm: Optional[Array] = None) -> Array:
     """Dispatch: fused Pallas kernel on TPU for large sorted 2-D f32 inputs
     with a known max graph size, else the unfused XLA chain."""
     use_pallas = (
@@ -239,7 +288,8 @@ def gather_mul_segsum_auto(x: Array, filt: Array, senders: Array,
     )
     if use_pallas:
         return fused_gather_mul_segsum(x, filt, senders, receivers,
-                                       num_segments, max_nodes)
+                                       num_segments, max_nodes,
+                                       sender_perm=sender_perm)
     from ..segment import segment_sum
     xj = jnp.take(x, senders, axis=0)
     return segment_sum(xj * filt, receivers, num_segments,
