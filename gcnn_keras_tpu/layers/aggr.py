@@ -37,6 +37,25 @@ def gather_nodes(values: Array, indices: Array) -> Array:
     return jnp.take(values, indices, axis=0)
 
 
+def gather_sender_nodes(batch: GraphBatch, values: Array) -> Array:
+    """Sender-side gather whose backward scatter runs as the SORTED Pallas
+    segment-sum via the build-time ``sender_perm`` (falls back to a plain
+    take off-TPU / on small batches). Drop-in for
+    ``gather_nodes(values, batch.senders)`` in hot message paths."""
+    perm = batch.edges.get("sender_perm")
+    if perm is None:
+        return jnp.take(values, batch.senders, axis=0)
+    from ..ops.pallas.fused_aggregate import gather_with_sorted_transpose
+    return gather_with_sorted_transpose(values, batch.senders, perm)
+
+
+def gather_receiver_nodes(batch: GraphBatch, values: Array) -> Array:
+    """Receiver-side gather; receivers are ALREADY sorted (batching
+    invariant), so its backward scatter needs no permutation."""
+    from ..ops.pallas.fused_aggregate import gather_with_sorted_transpose
+    return gather_with_sorted_transpose(values, batch.receivers, None)
+
+
 def gather_state(state: Array, batch: GraphBatch) -> Array:
     """Broadcast per-graph state ``(G, F)`` to nodes ``(N, F)``
     (``kgcnn/layers/gather.py:323`` GatherState)."""

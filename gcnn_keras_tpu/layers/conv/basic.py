@@ -14,7 +14,8 @@ import flax.linen as nn
 
 from ...batch import GraphBatch
 from ..aggr import (
-    gather_nodes, pool_edges_to_nodes, pool_edges_to_nodes_attention,
+    gather_nodes, gather_sender_nodes, pool_edges_to_nodes,
+    pool_edges_to_nodes_attention,
 )
 from ..mlp import Dense
 from ...ops.activ import get_activation
@@ -32,7 +33,7 @@ class GIN(nn.Module):
     def __call__(self, batch: GraphBatch, nodes: Array) -> Array:
         eps = self.param("epsilon_k", nn.initializers.zeros, ()) \
             if self.epsilon_learnable else 0.0
-        hj = gather_nodes(nodes, batch.senders)
+        hj = gather_sender_nodes(batch, nodes)
         agg = pool_edges_to_nodes(batch, hj, mode=self.pooling_method)
         return (1.0 + eps) * nodes + agg
 
@@ -48,7 +49,7 @@ class GINE(nn.Module):
     def __call__(self, batch: GraphBatch, nodes: Array, edges: Array) -> Array:
         eps = self.param("epsilon_k", nn.initializers.zeros, ()) \
             if self.epsilon_learnable else 0.0
-        hj = gather_nodes(nodes, batch.senders)
+        hj = gather_sender_nodes(batch, nodes)
         msg = get_activation(self.activation)(hj + edges)
         agg = pool_edges_to_nodes(batch, msg, mode=self.pooling_method)
         return (1.0 + eps) * nodes + agg
@@ -70,7 +71,7 @@ class AttentionHeadGAT(nn.Module):
         wn = Dense(self.units, activation="linear", use_bias=self.use_bias,
                    name="linear_trafo")(nodes)
         wn_in = gather_nodes(wn, batch.receivers)
-        wn_out = gather_nodes(wn, batch.senders)
+        wn_out = gather_sender_nodes(batch, wn)
         feats = [wn_in, wn_out]
         if self.use_edge_features and edges is not None:
             feats.append(edges)
@@ -98,8 +99,8 @@ class AttentionHeadGATV2(nn.Module):
         wn = Dense(self.units, activation="linear", use_bias=self.use_bias,
                    name="linear_trafo")(nodes)
         n_in = gather_nodes(nodes, batch.receivers)
-        n_out = gather_nodes(nodes, batch.senders)
-        wn_out = gather_nodes(wn, batch.senders)
+        n_out = gather_sender_nodes(batch, nodes)
+        wn_out = gather_sender_nodes(batch, wn)
         feats = [n_in, n_out]
         if self.use_edge_features and edges is not None:
             feats.append(edges)
@@ -171,7 +172,7 @@ class RelationalGCNConv(nn.Module):
         from ..mlp import RelationalDense
         self_msg = Dense(self.units, activation="linear", use_bias=self.use_bias,
                          name="self_dense")(nodes)
-        hj = gather_nodes(nodes, batch.senders)
+        hj = gather_sender_nodes(batch, nodes)
         # the reference RelationalDense carries a (shared) bias
         # (layers/relational.py Dense defaults)
         rel_msg = RelationalDense(self.units, self.num_relations,

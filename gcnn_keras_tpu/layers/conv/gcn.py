@@ -12,7 +12,8 @@ import jax
 import flax.linen as nn
 
 from ...batch import GraphBatch
-from ..aggr import gather_nodes, pool_weighted_edges_to_nodes
+from ..aggr import (gather_nodes, gather_sender_nodes,
+                    pool_weighted_edges_to_nodes)
 from ..mlp import Dense
 
 Array = jax.Array
@@ -29,7 +30,7 @@ class GCNConv(nn.Module):
     def __call__(self, batch: GraphBatch, nodes: Array,
                  edge_weights: Array) -> Array:
         h = Dense(self.units, activation="linear", use_bias=self.use_bias)(nodes)
-        hj = gather_nodes(h, batch.senders)
+        hj = gather_sender_nodes(batch, h)
         agg = pool_weighted_edges_to_nodes(
             batch, hj, edge_weights, mode=self.pooling_method,
             normalize=self.normalize_by_weights)

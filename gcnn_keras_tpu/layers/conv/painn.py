@@ -15,7 +15,8 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ...batch import GraphBatch
-from ..aggr import gather_nodes, pool_edges_to_nodes
+from ..aggr import (gather_nodes, gather_sender_nodes,
+                    pool_edges_to_nodes)
 from ..mlp import Dense
 
 Array = jax.Array
@@ -37,7 +38,7 @@ class PAiNNconv(nn.Module):
                     name="dense_1")(s)
         phi = Dense(3 * u, activation="linear", use_bias=self.use_bias,
                     name="phi")(phi)
-        phi_j = gather_nodes(phi, batch.senders)  # (E, 3U)
+        phi_j = gather_sender_nodes(batch, phi)  # (E, 3U)
         w = Dense(3 * u, activation="linear", use_bias=self.use_bias,
                   name="w")(rbf)  # filter from radial basis
         if self.cutoff is not None and envelope is not None:
@@ -45,7 +46,7 @@ class PAiNNconv(nn.Module):
         sw = phi_j * w
         sw1, sw2, sw3 = jnp.split(sw, 3, axis=-1)
         ds = pool_edges_to_nodes(batch, sw1, mode=self.conv_pool)
-        vj = gather_nodes(v, batch.senders)  # (E, 3, F)
+        vj = gather_sender_nodes(batch, v)  # (E, 3, F)
         dv_e = sw2[:, None, :] * vj + sw3[:, None, :] * dir_ij[:, :, None]
         dv = pool_edges_to_nodes(batch, dv_e, mode=self.conv_pool)
         return ds, dv

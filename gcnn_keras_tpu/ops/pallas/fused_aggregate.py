@@ -239,34 +239,43 @@ def fused_gather_mul_segsum(x: Array, filt: Array, senders: Array,
 
 
 def gather_with_sorted_transpose(values: Array, indices: Array,
-                                 sender_perm: Array,
+                                 sender_perm: Optional[Array] = None,
                                  min_edges: int = 16384) -> Array:
-    """``values[(N, F)][indices (E,)]`` whose TRANSPOSE (the scatter-add by
-    sender that dominates every message-passing backward) runs as the
-    sorted Pallas segment-sum over the build-time sender permutation
-    instead of XLA's serialized scatter.
+    """``values[(N, ...)][indices (E,)]`` whose TRANSPOSE (the scatter-add
+    that dominates every message-passing backward) runs as the sorted
+    Pallas segment-sum instead of XLA's serialized scatter.
 
-    Gather is linear in ``values``, so ``linear_call`` keeps
-    arbitrary-order AD (grad-of-grad force training) — the transpose of the
-    transpose is the gather again."""
+    ``sender_perm``: build-time stable argsort of ``indices``
+    (``batch.edges['sender_perm']``); pass None when ``indices`` is ALREADY
+    sorted (receiver gathers under the batching invariant). Trailing dims
+    are flattened for the kernel and restored. Gather is linear in
+    ``values``, so ``linear_call`` keeps arbitrary-order AD (grad-of-grad
+    force training) — the transpose of the transpose is the gather again."""
     from jax.custom_derivatives import linear_call
 
-    use_pallas = (values.ndim == 2 and values.dtype == jnp.float32
+    use_pallas = (values.ndim >= 2 and values.dtype == jnp.float32
                   and indices.shape[0] >= min_edges
                   and jax.default_backend() == "tpu")
     if not use_pallas:
         return jnp.take(values, indices, axis=0)
 
     n = values.shape[0]
+    trailing = values.shape[1:]
     from .segment_sum import sorted_segment_sum_pallas
-    idx_sorted = jnp.take(indices, sender_perm, axis=0).astype(jnp.int32)
+    if sender_perm is not None:
+        idx_sorted = jnp.take(indices, sender_perm, axis=0).astype(jnp.int32)
+    else:
+        idx_sorted = indices.astype(jnp.int32)
 
     def fwd(res, v):
         return jnp.take(v, indices, axis=0)
 
     def trans(res, ct):
-        return sorted_segment_sum_pallas(
-            jnp.take(ct, sender_perm, axis=0), idx_sorted, n)
+        ct2 = ct.reshape(ct.shape[0], -1)
+        if sender_perm is not None:
+            ct2 = jnp.take(ct2, sender_perm, axis=0)
+        out = sorted_segment_sum_pallas(ct2, idx_sorted, n)
+        return out.reshape((n,) + trailing)
 
     return linear_call(fwd, trans, (), values)
 
