@@ -301,6 +301,14 @@ def batch_graphs(
                 angles[a_off : a_off + m] = ai + offsets[gi]
                 angle_mask[a_off : a_off + m] = True
             a_off += m
+        # sort angle triples by CENTER node (stable; padding rows point at
+        # the dead last node and stay at the end): per-node angular pooling
+        # (ACSF G4 etc.) then runs on the sorted segment-sum fast path.
+        # Angle order is semantically irrelevant (sums); ``angle_edges``
+        # lists are independent row spaces and stay untouched.
+        a_order = np.argsort(angles[:, 0], kind="stable")
+        angles = angles[a_order]
+        angle_mask = angle_mask[a_order]
 
     # Edge-pair angle indices (DimeNet / MXMNet): per-graph local edge
     # positions -> global positions in the FINAL (sorted) edge order.

@@ -31,6 +31,38 @@ Array = jax.Array
 _MAX_Z = 96
 
 
+def _relational_pool(rep: Array, target: Array, relation: Array,
+                     num_rel: int, n_node: int,
+                     indices_are_sorted: bool = False,
+                     expand_threshold: int = 16384,
+                     max_lanes: int = 512) -> Array:
+    """``out[n, r, m] = sum_{e: target=n, rel=r} rep[e, m]`` -> (N, R*m).
+
+    Two layouts:
+    - combined-key segment-sum over ``target * R + rel`` — compact, but the
+      combined ids are UNSORTED (rel scrambles within a target), which
+      forces XLA's serialized scatter;
+    - on TPU with large inputs: one-hot EXPANSION ``(A, R*m)`` then a
+      segment-sum over ``target`` alone — targets are sorted by batch
+      construction (edges receiver-sorted; angles center-sorted), so this
+      rides the sorted Pallas segment-sum. Extra bytes (R x) are cheap next
+      to the scatter it replaces — measured 2.4x on the ACSF G4 forward.
+    """
+    m = rep.shape[-1]
+    use_expand = (indices_are_sorted and num_rel * m <= max_lanes
+                  and rep.shape[0] >= expand_threshold
+                  and jax.default_backend() == "tpu")
+    if use_expand:
+        onehot = jax.nn.one_hot(relation, num_rel, dtype=rep.dtype)  # (A, R)
+        rep_exp = (onehot[:, :, None] * rep[:, None, :]).reshape(
+            rep.shape[0], num_rel * m)
+        return segment_sum(rep_exp, target, n_node,
+                           indices_are_sorted=True)
+    combined = target * num_rel + relation
+    pooled = segment_sum(rep, combined, n_node * num_rel)
+    return pooled.reshape(n_node, num_rel * m)
+
+
 def _reverse_mapping(element_mapping: np.ndarray) -> np.ndarray:
     rev = np.zeros(_MAX_Z, dtype=np.int32)
     for i, z in enumerate(element_mapping):
@@ -41,7 +73,8 @@ def _reverse_mapping(element_mapping: np.ndarray) -> np.ndarray:
 def _cutoff_fc(r: Array, rc: Array) -> Array:
     """Cosine cutoff with the reference's clip semantics
     (``acsf_conv.py:164-169``): r clipped to [-rc, rc] so f_c(r>rc)=0."""
-    rclip = jnp.clip(jnp.broadcast_to(r, rc.shape), -rc, rc)
+    shape = jnp.broadcast_shapes(r.shape, rc.shape)
+    rclip = jnp.clip(jnp.broadcast_to(r, shape), -rc, rc)
     return 0.5 * (jnp.cos(rclip * math.pi / rc) + 1.0)
 
 
@@ -100,9 +133,9 @@ class ACSFG2(nn.Module):
         rep = gij * fc  # (E, m)
         rep = rep * batch.edge_mask[:, None].astype(rep.dtype)
 
-        combined = recv * num_rel + jnp.clip(zj_map, 0, num_rel - 1)
-        pooled = segment_sum(rep, combined, batch.n_node * num_rel)
-        return pooled.reshape(batch.n_node, num_rel * rep.shape[-1])
+        return _relational_pool(rep, recv, jnp.clip(zj_map, 0, num_rel - 1),
+                                num_rel, batch.n_node,
+                                indices_are_sorted=True)
 
 
 class ACSFG4(nn.Module):
@@ -188,22 +221,57 @@ class ACSFG4(nn.Module):
             return jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), eps))
 
         rij, rik, rjk = dist(vij), dist(vik), dist(vjk)
-        fij, fik, fjk = _cutoff_fc(rij, rc), _cutoff_fc(rik, rc), _cutoff_fc(rjk, rc)
-        gij = jnp.exp(-eta * rij**2)
-        gik = jnp.exp(-eta * rik**2)
-        gjk = jnp.exp(-eta * rjk**2)
         cos_theta = jnp.sum(vij * vik, axis=-1, keepdims=True) / rij / rik
-        cos_term = jnp.power(jnp.maximum(cos_theta * lamda + 1.0, 1e-30), zeta)
-        cos_term = jnp.power(2.0, 1.0 - zeta) * cos_term
-        if self.multiplicity is not None:
-            cos_term = cos_term / self.multiplicity
 
-        rep = cos_term * gij * gik * gjk * fij * fik * fjk  # (A, m)
+        # The param table is usually a GRID (few unique eta / (zeta, lambda)
+        # / rc values shared by all m sets x pair types): compute each
+        # transcendental once per UNIQUE value and gather, instead of
+        # (A, m)-broadcasting 6 exp/pow per set — the G4 forward is
+        # transcendental-bound on the VPU (PERF.md r2).
+        grid = table.reshape(-1, table.shape[-2], 4)  # (R(·T), m, 4)
+        grid_constant = bool(np.all(grid == grid[0:1]))
+        g0 = grid[0]                                   # (m, 4)
+        uniq_eta, eta_inv = np.unique(g0[:, 0], return_inverse=True)
+        uniq_zl, zl_inv = np.unique(g0[:, 1:3], axis=0, return_inverse=True)
+        uniq_rc, rc_inv = np.unique(g0[:, 3], return_inverse=True)
+        n_uniq = len(uniq_eta) + len(uniq_zl) + len(uniq_rc)
+
+        if grid_constant and n_uniq < 2 * g0.shape[0]:
+            # identical param grid for every pair/target (make_param_table's
+            # meshgrid): compute each transcendental once per UNIQUE value;
+            # per-set selection is a STATIC column pick (free), not a
+            # data-dependent gather
+            s2 = rij ** 2 + rik ** 2 + rjk ** 2                  # (A, 1)
+            e_tab = jnp.exp(-jnp.asarray(uniq_eta)[None, :] * s2)  # (A, Ue)
+            zs = jnp.asarray(uniq_zl[:, 0])[None, :]
+            ls = jnp.asarray(uniq_zl[:, 1])[None, :]
+            c_tab = jnp.power(2.0, 1.0 - zs) * jnp.power(
+                jnp.maximum(cos_theta * ls + 1.0, 1e-30), zs)    # (A, Uzl)
+            rcs = jnp.asarray(uniq_rc)[None, :]
+            f_tab = (_cutoff_fc(rij, rcs) * _cutoff_fc(rik, rcs)
+                     * _cutoff_fc(rjk, rcs))                     # (A, Urc)
+            rep = (e_tab[:, eta_inv] * c_tab[:, zl_inv]
+                   * f_tab[:, rc_inv])                           # (A, m)
+            if self.multiplicity is not None:
+                rep = rep / self.multiplicity
+        else:
+            fij = _cutoff_fc(rij, rc)
+            fik = _cutoff_fc(rik, rc)
+            fjk = _cutoff_fc(rjk, rc)
+            gij = jnp.exp(-eta * rij**2)
+            gik = jnp.exp(-eta * rik**2)
+            gjk = jnp.exp(-eta * rjk**2)
+            cos_term = jnp.power(jnp.maximum(cos_theta * lamda + 1.0, 1e-30),
+                                 zeta)
+            cos_term = jnp.power(2.0, 1.0 - zeta) * cos_term
+            if self.multiplicity is not None:
+                cos_term = cos_term / self.multiplicity
+            rep = cos_term * gij * gik * gjk * fij * fik * fjk  # (A, m)
         rep = rep * batch.angle_mask[:, None].astype(rep.dtype)
 
-        combined = i * num_rel + jnp.clip(zjk_map, 0, num_rel - 1)
-        pooled = segment_sum(rep, combined, batch.n_node * num_rel)
-        return pooled.reshape(batch.n_node, num_rel * rep.shape[-1])
+        return _relational_pool(rep, i, jnp.clip(zjk_map, 0, num_rel - 1),
+                                num_rel, batch.n_node,
+                                indices_are_sorted=True)
 
 
 class ACSFConstNormalization(nn.Module):
