@@ -130,7 +130,8 @@ class wACSFAng(nn.Module):
         rep = cos_term * g * _fc(rij, self.cutoff) * _fc(rik, self.cutoff) \
             * _fc(rjk, self.cutoff) * w
         rep = rep * batch.angle_mask[:, None].astype(rep.dtype)
-        pooled = segment_sum(rep, i, batch.n_node)
+        # angles are sorted by center node at batch build -> Pallas fast path
+        pooled = segment_sum(rep, i, batch.n_node, indices_are_sorted=True)
         # post-pool 2^(1-zeta) scale uses the central atom's zeta table
         zeta_n = tab[jnp.clip(z, 0, _N_ELEM - 1)][..., 3]
         return jnp.power(2.0, 1.0 - zeta_n) * pooled
