@@ -84,27 +84,34 @@ def gather_mul_pool_edges(batch: GraphBatch, nodes: Array,
     """``out[r] = sum_e nodes[senders[e]] * edge_filter[e]`` — the cfconv
     hot chain.
 
-    ``fused=True`` dispatches to the Pallas fused kernel
-    (``ops/pallas/fused_aggregate.py``), which never materializes the
-    gathered (E, F) tensor in HBM — measured 1.2-1.75x faster FORWARD on
-    v5e at bench shapes, so it pays off for inference/MD. It stays OFF by
-    default because in grad-of-grad TRAINING its custom_vjp backward costs
-    more than the forward saves (A/B on the full SchNet train step:
-    12.7 ms unfused vs 14.3 ms fused — PERF.md r2)."""
+    ``fused=True`` dispatches to the AD-CLOSED fused Pallas kernel family
+    (``ops/pallas/bilinear.py``): the chain is bilinear in (nodes, filter),
+    and its gms/sddmm primitives' jvp+transpose rules emit each other, so
+    EVERY traversal of a force-training step (forward, force grad, loss
+    double-backward) rides the fused kernel — unlike the earlier
+    custom_vjp variant (``fused="vjp"``, kept for comparison) whose
+    backward fell back to XLA gather/scatter and lost in training
+    (PERF.md r2)."""
+    perm = batch.edges.get("sender_perm")
     if fused and mode == "sum":
+        if fused != "vjp" and perm is not None and nodes.ndim == 2 \
+                and edge_filter.ndim == 2 and batch.max_nodes is not None:
+            from ..ops.pallas.bilinear import bilinear_gather_mul_segsum
+            return bilinear_gather_mul_segsum(
+                nodes, edge_filter, batch.senders, batch.receivers, perm,
+                batch.max_nodes)
         from ..ops.pallas.fused_aggregate import gather_mul_segsum_auto
         return gather_mul_segsum_auto(
             nodes, edge_filter, batch.senders, batch.receivers,
             batch.n_node, batch.max_nodes, indices_are_sorted=True,
-            sender_perm=batch.edges.get("sender_perm"))
-    perm = batch.edges.get("sender_perm")
+            sender_perm=perm)
     if perm is not None:
         # unfused path, but with the gather's TRANSPOSE (the backward's
         # scatter-by-sender) routed through the sorted Pallas segment-sum
         from ..ops.pallas.fused_aggregate import gather_with_sorted_transpose
         xj = gather_with_sorted_transpose(nodes, batch.senders, perm)
-    else:
-        xj = gather_nodes(nodes, batch.senders)
+        return pool_edges_to_nodes(batch, xj * edge_filter, mode=mode)
+    xj = gather_nodes(nodes, batch.senders)
     return pool_edges_to_nodes(batch, xj * edge_filter, mode=mode)
 
 
