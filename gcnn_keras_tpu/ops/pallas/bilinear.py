@@ -1,32 +1,33 @@
-"""AD-closed bilinear message-passing primitives.
+"""AD-closed fused gather-mul-segsum primitive.
 
 The cfconv hot chain ``out[r] = sum_e x[send[e]] * filt[e]`` (reference
 surface: ``kgcnn/layers/gather.py:83`` + ``kgcnn/layers/pooling.py:37-79``)
 is BILINEAR in (x, filt). The fused Pallas kernel
-(``fused_aggregate.fused_gather_mul_segsum``) wins the forward but lost in
-training because its ``custom_vjp`` backward was plain-XLA gather/scatter
-(PERF.md r2): force training runs ~4 AD traversals per step and only one of
-them rode the kernel.
+(``fused_aggregate.fused_gather_mul_segsum``) wins the forward but its
+original ``custom_vjp`` wrapper lost in training (PERF.md r2): force
+training runs ~4 AD traversals per step and only one rode the kernel, and
+custom_vjp caps the derivative order.
 
-This module closes the family under autodiff instead. Two JAX primitives:
+``gms_p`` here is a JAX primitive with a bilinear JVP rule (tangent
+applications bind the primitive again, so forward-mode and the
+linearize-side of reverse-mode also ride the fused kernel) and transpose
+rules that emit the PROVEN fast backward ops of the unfused path:
 
-- ``gms_p``   : (x (N,F), m (E,F)) -> (N,F)   out[s] = sum_{sidx[e]=s} x[gidx[e]] * m[e]
-- ``sddmm_p`` : (a (N,F), b (N,F)) -> (E,F)   out[e] = a[ia[e]] * b[ib[e]]
+- d/dx: sorted receiver-gather of the cotangent, multiply, then the sorted
+  Pallas segment-sum over senders via the build-time ``sender_perm``;
+- d/dm: two gathers whose own transposes ride the sorted Pallas
+  segment-sum (``gather_with_sorted_transpose``).
 
-with mutually-recursive JVP + transpose rules (the same mechanism that
-makes ``lax.dot_general`` infinitely differentiable):
+Both emissions are ordinary differentiable/transposable JAX (linear ops via
+``linear_call``), so the closure holds to arbitrary order — grad-of-grad
+force training works and never sees a serialized XLA scatter.
 
-- d(gms)/dx transposes to another ``gms`` on sender-sorted edges (the
-  build-time ``sender_perm`` re-sorts, so the Pallas kernel's sorted-segment
-  requirement holds on BOTH sides);
-- d(gms)/dm transposes to ``sddmm``;
-- d(sddmm)/da and /db transpose back to ``gms``.
-
-Every application in every traversal of a force-training step (forward,
-force grad, loss double-backward) is therefore one of these two primitives,
-each lowered to the fused Pallas kernel on TPU (``gms``) or an XLA
-gather-product (``sddmm``; SDDMM kernel is a follow-up) — no serialized
-XLA scatter anywhere.
+Measured on v5e (512-mol SchNet energy+force train step): a full
+kernel-closed family (transposes ALSO bound to the fused kernel on
+sender-sorted edges) ran 15.96 ms vs 11.11 ms unfused — the per-instance
+edge-array permutes and the kernel's fixed per-block cost beat its byte
+savings in transposed applications. This hybrid keeps the kernel where it
+wins (primal + tangents) and the unfused path where it wins (transposes).
 
 Index invariants (GraphBatch): ``sidx`` ascending (edges sorted by receiver
 at build), ``gperm`` a permutation making ``gidx`` ascending
@@ -70,12 +71,17 @@ def _permute_rows(vals: Array, perm: Array, inv: Array) -> Array:
     return linear_call(fwd, trans, (perm, inv), vals)
 
 
+def _sorted_segsum(vals: Array, seg_sorted: Array, n: int) -> Array:
+    """Sorted segment-sum with Pallas dispatch on TPU (all-orders AD)."""
+    from ..segment import segment_sum
+    return segment_sum(vals, seg_sorted, n, indices_are_sorted=True)
+
+
 # ---------------------------------------------------------------------------
-# gms: out[s] = sum_{e: sidx[e]=s} x[gidx[e]] * m[e]
+# gms_p: out[s] = sum_{e: sidx[e]=s} x[gidx[e]] * m[e]
 # ---------------------------------------------------------------------------
 
 gms_p = Primitive("gnn_gather_mul_segsum")
-sddmm_p = Primitive("gnn_sddmm")
 
 
 def gms(x: Array, m: Array, gidx: Array, sidx: Array, gperm: Array,
@@ -91,27 +97,12 @@ def gms(x: Array, m: Array, gidx: Array, sidx: Array, gperm: Array,
                       exact=bool(exact))
 
 
-def sddmm(a: Array, b: Array, ia: Array, ib: Array, ib_perm: Array,
-          *, max_nodes: int, exact: bool = False) -> Array:
-    """out[e] = a[ia[e]] * b[ib[e]] with AD-closed derivatives.
-
-    ``ia`` must be ascending; ``ib_perm`` a permutation sorting ``ib``."""
-    return sddmm_p.bind(a, b, ia.astype(jnp.int32), ib.astype(jnp.int32),
-                        ib_perm.astype(jnp.int32),
-                        max_nodes=int(max_nodes), exact=bool(exact))
-
-
-# --- reference (XLA) implementations; also the non-TPU lowering -----------
+# --- reference (XLA) implementation; also the non-TPU lowering -------------
 
 def _gms_xla(x, m, gidx, sidx, gperm, *, n_out, max_nodes, exact):
     del gperm, max_nodes, exact
     xj = jnp.take(x, gidx, axis=0)
     return jax.ops.segment_sum(xj * m, sidx, n_out, indices_are_sorted=True)
-
-
-def _sddmm_xla(a, b, ia, ib, ib_perm, *, max_nodes, exact):
-    del ib_perm, max_nodes, exact
-    return jnp.take(a, ia, axis=0) * jnp.take(b, ib, axis=0)
 
 
 def _gms_tpu(x, m, gidx, sidx, gperm, *, n_out, max_nodes, exact):
@@ -127,35 +118,21 @@ def _gms_tpu(x, m, gidx, sidx, gperm, *, n_out, max_nodes, exact):
                                     max_nodes=max_nodes, exact=exact)
 
 
-# --- abstract eval ---------------------------------------------------------
-
 def _gms_abstract(x, m, gidx, sidx, gperm, *, n_out, max_nodes, exact):
     del gidx, sidx, gperm, max_nodes, exact
     return jax.core.ShapedArray((n_out,) + m.shape[1:],
                                 jnp.result_type(x.dtype, m.dtype))
 
 
-def _sddmm_abstract(a, b, ia, ib, ib_perm, *, max_nodes, exact):
-    del ib, ib_perm, max_nodes, exact
-    return jax.core.ShapedArray((ia.shape[0],) + a.shape[1:],
-                                jnp.result_type(a.dtype, b.dtype))
-
-
 gms_p.def_abstract_eval(_gms_abstract)
-sddmm_p.def_abstract_eval(_sddmm_abstract)
 gms_p.def_impl(functools.partial(jax.jit(_gms_xla, static_argnames=(
     "n_out", "max_nodes", "exact"))))
-sddmm_p.def_impl(functools.partial(jax.jit(_sddmm_xla, static_argnames=(
-    "max_nodes", "exact"))))
-
 mlir.register_lowering(gms_p, mlir.lower_fun(_gms_xla, multiple_results=False))
 mlir.register_lowering(gms_p, mlir.lower_fun(_gms_tpu, multiple_results=False),
                        platform="tpu")
-mlir.register_lowering(sddmm_p,
-                       mlir.lower_fun(_sddmm_xla, multiple_results=False))
 
 
-# --- JVP rules: bilinear, so dy = F(dx, m) + F(x, dm) ----------------------
+# --- JVP: bilinear, so dy = gms(dx, m) + gms(x, dm) — tangents stay fused --
 
 def _gms_jvp(primals, tangents, *, n_out, max_nodes, exact):
     x, m, gidx, sidx, gperm = primals
@@ -174,29 +151,18 @@ def _gms_jvp(primals, tangents, *, n_out, max_nodes, exact):
     return out, functools.reduce(jnp.add, parts)
 
 
-def _sddmm_jvp(primals, tangents, *, max_nodes, exact):
-    a, b, ia, ib, ib_perm = primals
-    da, db = tangents[0], tangents[1]
-    out = sddmm_p.bind(a, b, ia, ib, ib_perm, max_nodes=max_nodes, exact=exact)
-    parts = []
-    if not isinstance(da, ad.Zero):
-        parts.append(sddmm_p.bind(da, b, ia, ib, ib_perm,
-                                  max_nodes=max_nodes, exact=exact))
-    if not isinstance(db, ad.Zero):
-        parts.append(sddmm_p.bind(a, db, ia, ib, ib_perm,
-                                  max_nodes=max_nodes, exact=exact))
-    if not parts:
-        return out, ad.Zero.from_primal_value(out)
-    return out, functools.reduce(jnp.add, parts)
-
-
 ad.primitive_jvps[gms_p] = _gms_jvp
-ad.primitive_jvps[sddmm_p] = _sddmm_jvp
 
 
-# --- transpose rules: stay inside the family -------------------------------
+# --- transpose: emit the PROVEN unfused fast paths (all-orders AD) ---------
+
+def _gather_sorted_transpose(values, indices, perm):
+    from .fused_aggregate import gather_with_sorted_transpose
+    return gather_with_sorted_transpose(values, indices, perm)
+
 
 def _gms_transpose(ct, x, m, gidx, sidx, gperm, *, n_out, max_nodes, exact):
+    del exact
     # Exactly one of x, m is linear (the JVP rule splits the two terms).
     if isinstance(ct, ad.Zero):
         zero = ad.Zero(x.aval if ad.is_undefined_primal(x) else m.aval)
@@ -205,42 +171,22 @@ def _gms_transpose(ct, x, m, gidx, sidx, gperm, *, n_out, max_nodes, exact):
                 else (None, zero, None, None, None))
     if ad.is_undefined_primal(x):
         # ct_x[n] = sum_{e: gidx[e]=n} ct[sidx[e]] * m[e]
-        # Re-sort edges by gidx via gperm: the scatter side becomes sorted,
-        # the gather side (sidx o gperm) stays graph-local -> same kernel.
+        # sorted receiver-gather, multiply, sorted segment-sum over senders
+        # (re-sorted once via gperm) — the measured-fast unfused backward.
+        ct_e = _gather_sorted_transpose(ct, sidx, None)  # sidx ascending
+        vals = ct_e * m
         inv = _invert_perm(gperm)
-        ct_x = gms_p.bind(ct, _permute_rows(m, gperm, inv),
-                          jnp.take(sidx, gperm), jnp.take(gidx, gperm), inv,
-                          n_out=x.aval.shape[0], max_nodes=max_nodes,
-                          exact=exact)
+        ct_x = _sorted_segsum(_permute_rows(vals, gperm, inv),
+                              jnp.take(gidx, gperm), x.aval.shape[0])
         return ct_x, None, None, None, None
-    # ct_m[e] = ct[sidx[e]] * x[gidx[e]]
-    ct_m = sddmm_p.bind(ct, x, sidx, gidx, gperm,
-                        max_nodes=max_nodes, exact=exact)
+    # ct_m[e] = ct[sidx[e]] * x[gidx[e]] — both gathers' own transposes ride
+    # the sorted Pallas segment-sum.
+    ct_m = (_gather_sorted_transpose(ct, sidx, None)
+            * _gather_sorted_transpose(x, gidx, gperm))
     return None, ct_m, None, None, None
 
 
-def _sddmm_transpose(ct, a, b, ia, ib, ib_perm, *, max_nodes, exact):
-    if isinstance(ct, ad.Zero):
-        zero = ad.Zero(a.aval if ad.is_undefined_primal(a) else b.aval)
-        return ((zero, None, None, None, None)
-                if ad.is_undefined_primal(a)
-                else (None, zero, None, None, None))
-    if ad.is_undefined_primal(a):
-        # ct_a[n] = sum_{e: ia[e]=n} ct[e] * b[ib[e]]  (ia already sorted)
-        ct_a = gms_p.bind(b, ct, ib, ia, ib_perm,
-                          n_out=a.aval.shape[0], max_nodes=max_nodes,
-                          exact=exact)
-        return ct_a, None, None, None, None
-    # ct_b[n] = sum_{e: ib[e]=n} ct[e] * a[ia[e]] — sort edges by ib first.
-    inv = _invert_perm(ib_perm)
-    ct_b = gms_p.bind(a, _permute_rows(ct, ib_perm, inv),
-                      jnp.take(ia, ib_perm), jnp.take(ib, ib_perm), inv,
-                      n_out=b.aval.shape[0], max_nodes=max_nodes, exact=exact)
-    return None, ct_b, None, None, None
-
-
 ad.primitive_transposes[gms_p] = _gms_transpose
-ad.primitive_transposes[sddmm_p] = _sddmm_transpose
 
 
 # --- GraphBatch-level entry ------------------------------------------------
@@ -249,7 +195,8 @@ def bilinear_gather_mul_segsum(x: Array, m: Array, senders: Array,
                                receivers: Array, sender_perm: Array,
                                max_nodes: int, exact: bool = False) -> Array:
     """``out[r] = sum_{e: recv[e]=r} x[send[e]] * m[e]`` for receiver-sorted
-    edges, with EVERY autodiff traversal (any order) staying on the fused
-    Pallas kernels. Use where both x and m require gradients (training)."""
+    edges: fused Pallas kernel for primal/tangent applications, unfused
+    sorted-segment-sum fast paths for transposes; differentiable to any
+    order (force training = grad-of-grad works)."""
     return gms(x, m, senders, receivers, sender_perm,
                max_nodes=max_nodes, exact=exact)

@@ -58,28 +58,28 @@ def onehot_dot(onehot: Array, vals: Array, exact: bool) -> Array:
                                      preferred_element_type=jnp.float32)
 
 
-def _make_kernel(exact: bool):
+def _make_kernel(exact: bool, n_blk: int, e_blk: int):
     def _kernel(off_ref, recv_hbm, val_hbm, out_ref, acc, vscr, rscr, sems):
         i = pl.program_id(0)
         e0 = off_ref[i]
         e1 = off_ref[i + 1]
-        # chunk-align the start so DMA offsets are multiples of E_BLK
-        start = (e0 // E_BLK) * E_BLK
-        num_chunks = jax.lax.max(((e1 + E_BLK - 1 - start) // E_BLK), 0)
+        # chunk-align the start so DMA offsets are multiples of e_blk
+        start = (e0 // e_blk) * e_blk
+        num_chunks = jax.lax.max(((e1 + e_blk - 1 - start) // e_blk), 0)
 
         acc[...] = jnp.zeros_like(acc)
 
-        row_base = i * N_BLK
+        row_base = i * n_blk
         row_ids = jax.lax.broadcasted_iota(
-            jnp.int32, (N_BLK, E_BLK), 0) + row_base
+            jnp.int32, (n_blk, e_blk), 0) + row_base
 
         def get_dmas(slot, chunk):
-            e_start = start + chunk * E_BLK
+            e_start = start + chunk * e_blk
             dv = pltpu.make_async_copy(
-                val_hbm.at[pl.ds(e_start, E_BLK), :], vscr.at[slot],
+                val_hbm.at[pl.ds(e_start, e_blk), :], vscr.at[slot],
                 sems.at[slot, 0])
             dr = pltpu.make_async_copy(
-                recv_hbm.at[:, pl.ds(e_start, E_BLK)], rscr.at[slot],
+                recv_hbm.at[:, pl.ds(e_start, e_blk)], rscr.at[slot],
                 sems.at[slot, 1])
             return dv, dr
 
@@ -112,13 +112,16 @@ def _make_kernel(exact: bool):
     return _kernel
 
 
-@functools.partial(jax.jit, static_argnames=("num_segments", "exact"))
+@functools.partial(jax.jit, static_argnames=("num_segments", "exact",
+                                              "n_blk", "e_blk"))
 def _sorted_segment_sum_pallas(values: Array, receivers: Array,
                                num_segments: int,
-                               exact: bool = False) -> Array:
+                               exact: bool = False,
+                               n_blk: int = N_BLK,
+                               e_blk: int = E_BLK) -> Array:
     e, f_in = values.shape
-    n_pad = ((num_segments + N_BLK - 1) // N_BLK) * N_BLK
-    e_pad = ((e + E_BLK - 1) // E_BLK) * E_BLK
+    n_pad = ((num_segments + n_blk - 1) // n_blk) * n_blk
+    e_pad = ((e + e_blk - 1) // e_blk) * e_blk
     # lane tiling: HBM->VMEM DMA slices need a 128-aligned feature dim
     f = ((f_in + 127) // 128) * 128
     if e_pad != e or f != f_in:
@@ -127,27 +130,27 @@ def _sorted_segment_sum_pallas(values: Array, receivers: Array,
                             constant_values=jnp.int32(n_pad))
     recv = receivers.astype(jnp.int32)
     # per-node-block edge ranges (host-free, one vectorized searchsorted)
-    bounds = jnp.arange(0, n_pad + 1, N_BLK, dtype=jnp.int32)
+    bounds = jnp.arange(0, n_pad + 1, n_blk, dtype=jnp.int32)
     offsets = jnp.searchsorted(recv, bounds, side="left").astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_pad // N_BLK,),
+        grid=(n_pad // n_blk,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # receivers (1, E) in HBM
             pl.BlockSpec(memory_space=pltpu.ANY),  # values (E, F) in HBM
         ],
-        out_specs=pl.BlockSpec((N_BLK, f), lambda i, off: (i, 0),
+        out_specs=pl.BlockSpec((n_blk, f), lambda i, off: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((N_BLK, f), jnp.float32),       # accumulator
-            pltpu.VMEM((2, E_BLK, f), values.dtype),   # value chunks
-            pltpu.VMEM((2, 1, E_BLK), jnp.int32),      # receiver chunks
+            pltpu.VMEM((n_blk, f), jnp.float32),       # accumulator
+            pltpu.VMEM((2, e_blk, f), values.dtype),   # value chunks
+            pltpu.VMEM((2, 1, e_blk), jnp.int32),      # receiver chunks
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     out = pl.pallas_call(
-        _make_kernel(exact),
+        _make_kernel(exact, n_blk, e_blk),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, f), values.dtype),
     )(offsets, recv[None, :], values)

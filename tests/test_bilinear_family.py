@@ -10,9 +10,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from gcnn_keras_tpu.ops.pallas.bilinear import (
-    bilinear_gather_mul_segsum, sddmm, gms,
-)
+from gcnn_keras_tpu.ops.pallas.bilinear import bilinear_gather_mul_segsum
 
 
 def _random_graph(rs, n_graphs=5, max_nodes=7, f=4):
@@ -70,30 +68,6 @@ def test_value_and_first_order(graph):
     gx_r, gm_r = jax.grad(loss_ref, argnums=(0, 1))(x, m)
     np.testing.assert_allclose(gx_f, gx_r, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(gm_f, gm_r, rtol=1e-5, atol=1e-6)
-
-
-def test_sddmm_value_and_grads(graph):
-    n, send, recv, perm, max_nodes, f = graph
-    rs = np.random.RandomState(2)
-    a = jnp.asarray(rs.randn(n, f), jnp.float32)
-    b = jnp.asarray(rs.randn(n, f), jnp.float32)
-
-    out = sddmm(a, b, recv, send, perm, max_nodes=max_nodes)
-    ref = jnp.take(a, recv, axis=0) * jnp.take(b, send, axis=0)
-    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
-
-    def lf(a, b):
-        return jnp.sum(jnp.sin(sddmm(a, b, recv, send, perm,
-                                     max_nodes=max_nodes)))
-
-    def lr(a, b):
-        return jnp.sum(jnp.sin(jnp.take(a, recv, axis=0)
-                               * jnp.take(b, send, axis=0)))
-
-    for i in (0, 1):
-        np.testing.assert_allclose(jax.grad(lf, argnums=i)(a, b),
-                                   jax.grad(lr, argnums=i)(a, b),
-                                   rtol=1e-5, atol=1e-6)
 
 
 def _force_training_setup(graph, use_family):

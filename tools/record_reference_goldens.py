@@ -24,18 +24,13 @@ ASSETS = os.path.join(os.path.dirname(__file__), "..", "tests", "assets")
 
 
 def fixed_molecules():
-    """Two small rigid molecules; all-pairs directed edges (i != j)."""
-    mols = [
-        # H2O
-        (np.array([8, 1, 1], dtype=np.int64),
-         np.array([[0.0, 0.0, 0.0], [0.9572, 0.0, 0.0],
-                   [-0.2399872, 0.92662721, 0.0]], dtype=np.float32)),
-        # CH4
-        (np.array([6, 1, 1, 1, 1], dtype=np.int64),
-         np.array([[0.0, 0.0, 0.0], [0.6291, 0.6291, 0.6291],
-                   [-0.6291, -0.6291, 0.6291], [-0.6291, 0.6291, -0.6291],
-                   [0.6291, -0.6291, -0.6291]], dtype=np.float32)),
-    ]
+    """Fixed rigid molecules; all-pairs directed edges (i != j).
+
+    Widened per VERDICT r1 weak item 3: four molecules, 3-17 atoms,
+    elements {H, C, N, O, F} (tools/golden_molecules.py), including a
+    17-atom multi-element chain."""
+    from golden_molecules import wide_set
+    mols = wide_set()
     graphs = []
     for z, xyz in mols:
         n = len(z)
@@ -128,16 +123,9 @@ def record_gcn():
     save_golden("gcn", model, graphs, out)
 
 
-if __name__ == "__main__":
-    import tensorflow as tf
-    tf.config.set_visible_devices([], "GPU")
-    for fn in (record_schnet, record_painn, record_gcn):
-        try:
-            fn()
-        except Exception:
-            import traceback
-            print(f"--- {fn.__name__} failed:")
-            traceback.print_exc(limit=5)
+# (execution happens in the single __main__ block at the bottom of the file,
+# AFTER patch_legacy_activations is defined — the patch must be applied
+# before any kgcnn module import binds tf_keras activation resolution.)
 
 
 def _molnet_inputs(node_dim=8, edge_dim=5, seed=5):
@@ -184,13 +172,21 @@ def record_gin():
         {"shape": (None, 8), "name": "node_attributes", "dtype": "float32",
          "ragged": True},
         {"shape": (None, 2), "name": "edge_indices", "dtype": "int64",
-         "ragged": True}])
+         "ragged": True}],
+        output_mlp={"use_bias": True, "units": 1, "activation": "linear"})
     out = model([nodes, ei], training=False)
     save_golden("gin", model, graphs, out)
 
 
 def record_gatv2():
-    _record_molnet("GATv2", 19, depth=1, attention_heads_num=2)
+    # config mirrors tests/test_reference_parity.py::test_gatv2
+    _record_molnet("GATv2", 19, depth=1, attention_heads_num=2,
+                   attention_args={"units": 32, "use_edge_features": True,
+                                   "use_bias": True, "activation": "relu",
+                                   "use_final_activation": False,
+                                   "has_self_loops": True},
+                   output_mlp={"use_bias": [True, True], "units": [32, 1],
+                               "activation": ["relu", "linear"]})
 
 
 def patch_legacy_activations():
@@ -240,7 +236,17 @@ def record_dmpnn():
     rev = tf.ragged.constant(
         [g["edge_indices_reverse"][:, None] for g in graphs],
         ragged_rank=1, inner_shape=(1,), dtype="int64")
-    model = make_model(depth=2)
+    # explicit featurized inputs (no OptionalInputEmbedding): matches the
+    # recorded fixture's 11-weight layout
+    model = make_model(depth=2, inputs=[
+        {"shape": (None, 8), "name": "node_attributes", "dtype": "float32",
+         "ragged": True},
+        {"shape": (None, 5), "name": "edge_attributes", "dtype": "float32",
+         "ragged": True},
+        {"shape": (None, 2), "name": "edge_indices", "dtype": "int64",
+         "ragged": True},
+        {"shape": (None, 1), "name": "edge_indices_reverse",
+         "dtype": "int64", "ragged": True}])
     out = model([nodes, ea, ei, rev], training=False)
     save_golden("dmpnn", model, graphs, out)
 
@@ -328,8 +334,22 @@ def record_megan():
                 np.asarray(edge_imp.to_tensor())])
 
 
-if __name__ == "__main__" and os.environ.get("RECORD_ONLY"):
+ALL_RECORDERS = ("schnet", "painn", "gcn", "gin", "gatv2", "attentivefp",
+                 "graphsage", "dmpnn", "hamnet", "mat", "megan")
+
+if __name__ == "__main__":
     import tensorflow as tf
     tf.config.set_visible_devices([], "GPU")
-    for fname in os.environ["RECORD_ONLY"].split(","):
-        globals()[f"record_{fname}"]()
+    patch_legacy_activations()
+    names = os.environ.get("RECORD_ONLY", ",".join(ALL_RECORDERS)).split(",")
+    failed = []
+    for fname in names:
+        try:
+            globals()[f"record_{fname}"]()
+        except Exception:
+            import traceback
+            print(f"--- record_{fname} failed:")
+            traceback.print_exc(limit=5)
+            failed.append(fname)
+    if failed:
+        sys.exit(f"FAILED recorders: {failed}")
