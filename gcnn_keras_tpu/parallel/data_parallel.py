@@ -81,10 +81,14 @@ def dp_batch_iterator(batches, mesh: Mesh, axis: str = "data"):
     """Group consecutive same-shape batches into device-stacked super-batches
     (one sub-batch per device, placed with the leading axis sharded over the
     mesh). Incomplete trailing groups are dropped — loaders should size
-    epochs accordingly."""
+    epochs accordingly.
+
+    Multi-process: ``batches`` is THIS host's stream; each host groups only
+    its local device count and the global super-batch is assembled
+    host-locally by ``shard_stacked_batch``."""
     from .mesh import stack_batches, shard_stacked_batch
 
-    n = mesh.shape[axis]
+    n = mesh.shape[axis] // jax.process_count()
     group = []
     for b in batches:
         group.append(b)

@@ -39,9 +39,17 @@ def maybe_initialize_distributed(coordinator_address: Optional[str] = None,
     global _initialized
     import jax
 
-    if _initialized or jax.process_count() > 1:
-        _initialized = True
+    # NOTE: must not touch jax.process_count()/devices() here — any backend
+    # query counts as "a JAX computation" and forbids a later initialize().
+    if _initialized:
         return True
+    try:
+        from jax._src import distributed as _dist
+        if _dist.global_state.client is not None:
+            _initialized = True
+            return True
+    except Exception:
+        pass
 
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS")
@@ -57,6 +65,14 @@ def maybe_initialize_distributed(coordinator_address: Optional[str] = None,
         return False
 
     import jax.distributed
+    # CPU multi-process (tests / CI) needs an explicit cross-process
+    # collectives implementation; harmless no-op for TPU slices.
+    try:
+        platforms = jax.config.jax_platforms or ""
+        if "cpu" in platforms.split(","):
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:  # config name may change across jax versions
+        pass
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)

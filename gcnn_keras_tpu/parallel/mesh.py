@@ -40,6 +40,14 @@ def stack_batches(batches: List[GraphBatch]) -> GraphBatch:
 def shard_stacked_batch(stacked: GraphBatch, mesh: Mesh,
                         axis: str = "data") -> GraphBatch:
     """Place a stacked batch so the leading device axis is sharded over the
-    mesh — one sub-batch per device, zero resharding at dispatch."""
+    mesh — one sub-batch per device, zero resharding at dispatch.
+
+    Multi-process: ``stacked`` carries only THIS host's sub-batches (leading
+    axis = local device count); each host's slice is assembled into the
+    global array without any cross-host data movement."""
     sharding = NamedSharding(mesh, P(axis))
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), stacked)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), stacked)
