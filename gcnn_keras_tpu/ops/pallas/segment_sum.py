@@ -157,6 +157,133 @@ def _sorted_segment_sum_pallas(values: Array, receivers: Array,
     return out[:num_segments, :f_in]
 
 
+def _make_kernel_v2(exact: bool, n_blk: int, e_blk: int, total_chunks: int):
+    """Cross-block pipelined variant: DMA slots PERSIST across grid steps
+    (the TPU grid is sequential), chunks are indexed globally, and each
+    block prefetches the next global chunk while computing — so block
+    boundaries neither stall on the first DMA nor refetch the shared
+    boundary chunk. SMEM bookkeeping: started[slot]/waited[slot] = global
+    chunk id most recently DMA'd / waited into that slot."""
+
+    def _kernel(off_ref, recv_hbm, val_hbm, out_ref, acc, vscr, rscr,
+                started, waited, sems):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            started[0] = -1
+            started[1] = -1
+            waited[0] = -1
+            waited[1] = -1
+
+        e0 = off_ref[i]
+        e1 = off_ref[i + 1]
+        c0 = e0 // e_blk
+        c1 = jax.lax.select(e1 > e0, (e1 + e_blk - 1) // e_blk, c0)
+
+        acc[...] = jnp.zeros_like(acc)
+        row_base = i * n_blk
+        row_ids = jax.lax.broadcasted_iota(
+            jnp.int32, (n_blk, e_blk), 0) + row_base
+
+        def get_dmas(slot, chunk):
+            e_start = chunk * e_blk
+            dv = pltpu.make_async_copy(
+                val_hbm.at[pl.ds(e_start, e_blk), :], vscr.at[slot],
+                sems.at[slot, 0])
+            dr = pltpu.make_async_copy(
+                recv_hbm.at[:, pl.ds(e_start, e_blk)], rscr.at[slot],
+                sems.at[slot, 1])
+            return dv, dr
+
+        def ensure_started(slot, chunk):
+            @pl.when(started[slot] != chunk)
+            def _():
+                for d in get_dmas(slot, chunk):
+                    d.start()
+                started[slot] = chunk
+
+        def ensure_waited(slot, chunk):
+            @pl.when(waited[slot] != chunk)
+            def _():
+                for d in get_dmas(slot, chunk):
+                    d.wait()
+                waited[slot] = chunk
+
+        @pl.when(c1 > c0)
+        def _():
+            ensure_started(c0 % 2, c0)
+
+        def body(k, _):
+            slot = k % 2
+            nxt = (k + 1) % 2
+
+            # prefetch the next GLOBAL chunk (may belong to a later block)
+            @pl.when(k + 1 < total_chunks)
+            def _():
+                ensure_started(nxt, k + 1)
+
+            ensure_waited(slot, k)
+
+            recv = rscr[slot]
+            vals = vscr[slot]
+            onehot = (recv == row_ids).astype(vals.dtype)
+            acc[...] += onehot_dot(onehot, vals, exact)
+            return ()
+
+        jax.lax.fori_loop(c0, c1, body, (), unroll=False)
+        out_ref[...] = acc[...].astype(out_ref.dtype)
+
+    return _kernel
+
+
+@functools.partial(jax.jit, static_argnames=("num_segments", "exact",
+                                              "n_blk", "e_blk", "interpret"))
+def _sorted_segment_sum_pallas_v2(values: Array, receivers: Array,
+                                  num_segments: int,
+                                  exact: bool = False,
+                                  n_blk: int = N_BLK,
+                                  e_blk: int = E_BLK,
+                                  interpret: bool = False) -> Array:
+    e, f_in = values.shape
+    n_pad = ((num_segments + n_blk - 1) // n_blk) * n_blk
+    e_pad = ((e + e_blk - 1) // e_blk) * e_blk
+    f = ((f_in + 127) // 128) * 128
+    if e_pad != e or f != f_in:
+        values = jnp.pad(values, ((0, e_pad - e), (0, f - f_in)))
+        receivers = jnp.pad(receivers, (0, e_pad - e),
+                            constant_values=jnp.int32(n_pad))
+    recv = receivers.astype(jnp.int32)
+    bounds = jnp.arange(0, n_pad + 1, n_blk, dtype=jnp.int32)
+    offsets = jnp.searchsorted(recv, bounds, side="left").astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_pad // n_blk,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((n_blk, f), lambda i, off: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((n_blk, f), jnp.float32),
+            pltpu.VMEM((2, e_blk, f), values.dtype),
+            pltpu.VMEM((2, 1, e_blk), jnp.int32),
+            pltpu.SMEM((2,), jnp.int32),   # started
+            pltpu.SMEM((2,), jnp.int32),   # waited
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    out = pl.pallas_call(
+        _make_kernel_v2(exact, n_blk, e_blk, e_pad // e_blk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, f), values.dtype),
+        interpret=interpret,
+    )(offsets, recv[None, :], values)
+    return out[:num_segments, :f_in]
+
+
 def sorted_segment_sum_pallas(values: Array, receivers: Array,
                               num_segments: int,
                               exact: bool = False) -> Array:

@@ -51,17 +51,26 @@ def main():
         jax.ops.segment_sum, num_segments=n, indices_are_sorted=True))
     results["xla_scatter"] = timeit(base, vals, recv) * 1e6
 
-    for n_blk in (128, 256, 512):
-        for e_blk in (1024, 2048, 4096):
-            fn = jax.jit(functools.partial(
-                _sorted_segment_sum_pallas, num_segments=n,
-                n_blk=n_blk, e_blk=e_blk))
-            try:
-                us = timeit(fn, vals, recv) * 1e6
-            except Exception as ex:
-                us = None
-                print(f"n{n_blk}/e{e_blk} failed: {ex}", file=sys.stderr)
-            results[f"n{n_blk}_e{e_blk}"] = us
+    from gcnn_keras_tpu.ops.pallas.segment_sum import \
+        _sorted_segment_sum_pallas_v2
+
+    for tag, impl in (("v1", _sorted_segment_sum_pallas),
+                      ("v2", _sorted_segment_sum_pallas_v2)):
+        for n_blk in (128, 256):
+            for e_blk in (512, 1024, 2048):
+                fn = jax.jit(functools.partial(
+                    impl, num_segments=n, n_blk=n_blk, e_blk=e_blk))
+                try:
+                    us = timeit(fn, vals, recv) * 1e6
+                    ref = jax.ops.segment_sum(vals, recv, n,
+                                              indices_are_sorted=True)
+                    err = float(jnp.max(jnp.abs(fn(vals, recv) - ref)))
+                    assert err < 1e-2, f"wrong result: {err}"
+                except Exception as ex:
+                    us = None
+                    print(f"{tag} n{n_blk}/e{e_blk} failed: {ex}"[:300],
+                          file=sys.stderr)
+                results[f"{tag}_n{n_blk}_e{e_blk}"] = us
     print(json.dumps({k: (round(v, 1) if v else None)
                       for k, v in results.items()}))
 
