@@ -34,8 +34,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-N_BLK = 128
-E_BLK = 1024
+# Block sizes are overridable for A/B sweeps (tools/sweep_segsum_blocks.py)
+# without code edits; defaults are the best full-step measurement on v5e.
+import os as _os
+N_BLK = int(_os.environ.get("GCNN_SEGSUM_N_BLK", "128"))
+E_BLK = int(_os.environ.get("GCNN_SEGSUM_E_BLK", "1024"))
 
 
 def onehot_dot(onehot: Array, vals: Array, exact: bool) -> Array:
