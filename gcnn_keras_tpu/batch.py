@@ -77,6 +77,19 @@ class GraphBatch:
     edge2_mask: Optional[Array] = None
     n_graphs: int = struct.field(pytree_node=False, default=1)
     max_nodes: int = struct.field(pytree_node=False, default=0)
+    # --- edge-partitioned (giant-graph) execution metadata -----------------
+    # When ``part_axis`` is set, this batch is ONE SHARD of an
+    # edge-partitioned giant graph living inside ``shard_map`` over that
+    # mesh axis: ``senders`` index a halo-extended node table
+    # ([left_halo | local | right_halo] when ``halo_size > 0``, the tiled
+    # all-gather of all shards when ``halo_size == 0``) and every sender-side
+    # gather in ``layers/aggr.py`` / ``layers/geometry.py`` routes through
+    # ``sender_node_table`` below, so the UNMODIFIED model zoo runs on a
+    # partitioned graph (no reference counterpart — kgcnn caps system size
+    # instead, kgcnn/graph/preprocessor.py:264-269).
+    part_axis: Optional[str] = struct.field(pytree_node=False, default=None)
+    halo_size: int = struct.field(pytree_node=False, default=0)
+    n_shards: int = struct.field(pytree_node=False, default=1)
 
     # -- convenience accessors -------------------------------------------------
     @property
@@ -490,3 +503,32 @@ def padded_to_flat(padded: Array, batch: GraphBatch) -> Array:
 
 def _bcast(mask: Array, ref: Array) -> Array:
     return mask.reshape(mask.shape + (1,) * (ref.ndim - mask.ndim))
+
+
+def sender_node_table(batch: GraphBatch, values: Array) -> Array:
+    """The node-feature table ``batch.senders`` indexes into.
+
+    Single-device batches (``part_axis is None``): identity. For a shard of
+    an edge-partitioned giant graph (inside ``shard_map``): the halo exchange
+    — each shard ppermutes its boundary slabs to the ring neighbors and
+    gathers from ``[left_halo | local | right_halo]`` (O(halo) ICI traffic),
+    or a tiled all-gather when ``halo_size == 0`` (the safe fallback when the
+    partition has no locality). Both collectives are linear, so arbitrary-
+    order autodiff (forces, grad-of-grad training) transposes them exactly:
+    the reverse ppermute/all-gather returns each neighbor's force
+    contribution to the owning shard.
+    """
+    if batch.part_axis is None:
+        return values
+    ax = batch.part_axis
+    h = batch.halo_size
+    if h > 0:
+        n = batch.n_shards
+        right = [(i, (i + 1) % n) for i in range(n)]
+        left = [(i, (i - 1) % n) for i in range(n)]
+        from_left = jax.lax.ppermute(values[-h:], ax, right)
+        from_right = jax.lax.ppermute(values[:h], ax, left)
+        return jnp.concatenate([from_left, values, from_right], axis=0)
+    return jax.lax.all_gather(values, ax, tiled=True)
+
+

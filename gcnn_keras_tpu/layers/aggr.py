@@ -19,7 +19,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..batch import GraphBatch
+from ..batch import GraphBatch, sender_node_table
 from ..ops.segment import (
     segment_ops_by_name, segment_softmax,
 )
@@ -41,7 +41,15 @@ def gather_sender_nodes(batch: GraphBatch, values: Array) -> Array:
     """Sender-side gather whose backward scatter runs as the SORTED Pallas
     segment-sum via the build-time ``sender_perm`` (falls back to a plain
     take off-TPU / on small batches). Drop-in for
-    ``gather_nodes(values, batch.senders)`` in hot message paths."""
+    ``gather_nodes(values, batch.senders)`` in hot message paths.
+
+    On a shard of an edge-partitioned giant graph (``batch.part_axis``
+    set), the gather reads from the halo-exchanged node table instead —
+    this single routing point is what lets the unmodified model zoo run
+    partitioned."""
+    if batch.part_axis is not None:
+        return jnp.take(sender_node_table(batch, values), batch.senders,
+                        axis=0)
     perm = batch.edges.get("sender_perm")
     if perm is None:
         return jnp.take(values, batch.senders, axis=0)
@@ -73,6 +81,15 @@ def pool_edges_to_nodes(batch: GraphBatch, edge_values: Array,
     ``pooling_method`` is an alias for ``mode`` (reference config names).
     """
     mode = pooling_method or mode
+    if batch.part_axis is not None:
+        # partitioned shards have NO dead node for padding edges (every
+        # local slot may be real), so padding messages are masked here —
+        # the one central aggregation point all models flow through.
+        if mode != "sum":
+            raise NotImplementedError(
+                f"partitioned graphs only support sum aggregation, got {mode}")
+        edge_values = edge_values * _bcast(
+            batch.edge_mask, edge_values).astype(edge_values.dtype)
     return segment_ops_by_name(
         mode, edge_values, batch.receivers, batch.n_node,
         indices_are_sorted=True)
@@ -96,6 +113,9 @@ def gather_mul_pool_edges(batch: GraphBatch, nodes: Array,
     TRAIN step 13.9 ms fused vs 11.1 ms unfused (keep the default False for
     training — the kernel's fixed per-block cost beats its byte savings
     once the step runs 4 AD traversals)."""
+    if batch.part_axis is not None:
+        xj = jnp.take(sender_node_table(batch, nodes), batch.senders, axis=0)
+        return pool_edges_to_nodes(batch, xj * edge_filter, mode=mode)
     perm = batch.edges.get("sender_perm")
     if fused and mode == "sum":
         if fused != "vjp" and perm is not None and nodes.ndim == 2 \
@@ -172,10 +192,29 @@ def pool_nodes_to_graph(batch: GraphBatch, node_values: Array,
     Padding nodes all live in the padding graph slot, so no masking is
     needed for any reduction mode. ``pooling_method`` is accepted as an
     alias for ``mode`` (reference config names).
+
+    On a shard of an edge-partitioned giant graph the result is the GLOBAL
+    per-graph pooled value (psum over the mesh axis, replicated on every
+    shard) — necessary because readout MLPs applied after pooling are
+    nonlinear, so partial pools cannot be combined after the fact.
+
+    AD WARNING for the partitioned case: differentiating the replicated
+    model output directly D-fold-counts every pre-pooling path (psum is
+    self-transpose, and every shard seeds a cotangent on its own copy).
+    The consistent SPMD recipe — used by ``parallel/partitioned.py`` and
+    verified against the single-device oracle — is to differentiate
+    ``output / n_shards``; then forces AND psum'd parameter gradients both
+    come out exact, including through replicated post-pooling readout MLPs.
     """
     mode = pooling_method or mode
-    return segment_ops_by_name(mode, node_values, batch.graph_id,
-                               batch.n_graphs, indices_are_sorted=True)
+    out = segment_ops_by_name(mode, node_values, batch.graph_id,
+                              batch.n_graphs, indices_are_sorted=True)
+    if batch.part_axis is not None:
+        if mode != "sum":
+            raise NotImplementedError(
+                f"partitioned graphs only support sum readout, got {mode}")
+        out = jax.lax.psum(out, batch.part_axis)
+    return out
 
 
 def pool_nodes_to_graph_attention(batch: GraphBatch, node_values: Array,

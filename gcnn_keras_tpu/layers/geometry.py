@@ -26,7 +26,13 @@ def edge_vectors(batch: GraphBatch, positions: Optional[Array] = None,
     ``globals['graph_lattice']`` (ShiftPeriodicLattice, ``geom.py:76``).
     """
     pos = positions if positions is not None else batch.nodes[key]
-    vec = pos[batch.receivers] - pos[batch.senders]
+    if batch.part_axis is not None:
+        # edge-partitioned shard: senders index the halo-exchanged table
+        from ..batch import sender_node_table
+        pos_j = jnp.take(sender_node_table(batch, pos), batch.senders, axis=0)
+    else:
+        pos_j = pos[batch.senders]
+    vec = pos[batch.receivers] - pos_j
     if "range_image" in batch.edges and "graph_lattice" in batch.globals:
         image = batch.edges["range_image"].astype(pos.dtype)  # (E, 3)
         lattice = batch.globals["graph_lattice"]  # (G, 3, 3) row vectors
