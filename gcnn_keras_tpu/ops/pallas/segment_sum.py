@@ -34,11 +34,38 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-# Block sizes are overridable for A/B sweeps (tools/sweep_segsum_blocks.py)
-# without code edits; defaults are the best full-step measurement on v5e.
+# Block sizes are overridable via env for FULL-STEP A/B runs (bench.py /
+# train entry points call through the default kwargs; the sweep tool
+# tools/sweep_segsum_blocks.py passes n_blk/e_blk explicitly instead).
+# Defaults are the best full-step measurement on v5e.
 import os as _os
-N_BLK = int(_os.environ.get("GCNN_SEGSUM_N_BLK", "128"))
-E_BLK = int(_os.environ.get("GCNN_SEGSUM_E_BLK", "1024"))
+
+
+def _env_block(name: str, default: int, multiple: int) -> int:
+    raw = _os.environ.get(name)
+    if raw is None:
+        return default
+    try:
+        val = int(raw)
+    except ValueError:
+        raise ValueError(f"{name}={raw!r} is not an integer") from None
+    if val <= 0 or val % multiple != 0:
+        raise ValueError(
+            f"{name}={val} invalid: must be a positive multiple of "
+            f"{multiple} (v5e DMA/MXU tiling constraint)")
+    return val
+
+
+# E_BLK: HBM->VMEM DMA slices need 128-aligned extents; N_BLK: output row
+# blocks must tile the f32 (8, 128) layout (128 keeps the MXU fully fed).
+N_BLK = _env_block("GCNN_SEGSUM_N_BLK", 128, 8)
+E_BLK = _env_block("GCNN_SEGSUM_E_BLK", 1024, 128)
+# Kernel variant for full-step A/B: v1 (per-block chunk loop, default),
+# v3 (receivers resident in VMEM + `slots`-deep DMA ring).
+IMPL = _os.environ.get("GCNN_SEGSUM_IMPL", "v1")
+SLOTS = _env_block("GCNN_SEGSUM_SLOTS", 2, 1)
+if IMPL not in ("v1", "v2", "v3"):
+    raise ValueError(f"GCNN_SEGSUM_IMPL={IMPL!r} invalid: use v1|v2|v3")
 
 
 def onehot_dot(onehot: Array, vals: Array, exact: bool) -> Array:
@@ -287,6 +314,103 @@ def _sorted_segment_sum_pallas_v2(values: Array, receivers: Array,
     return out[:num_segments, :f_in]
 
 
+def _make_kernel_v3(exact: bool, n_blk: int, e_blk: int, slots: int):
+    """v3: the receiver ids for the WHOLE batch live in VMEM (E x 4 bytes —
+    219 KB even at the 512-molecule bench shapes), so each chunk iteration
+    issues ONE value DMA instead of two, and the DMA ring is ``slots`` deep
+    (prefetch depth ``slots - 1``) to hide issue/semaphore latency — the
+    measured ~5-7 us/chunk fixed cost that bounds v1/v2 (PERF.md r2/r3)."""
+
+    def _kernel(off_ref, recv_vmem, val_hbm, out_ref, acc, vscr, sems):
+        i = pl.program_id(0)
+        e0 = off_ref[i]
+        e1 = off_ref[i + 1]
+        start = (e0 // e_blk) * e_blk
+        num_chunks = jax.lax.max(((e1 + e_blk - 1 - start) // e_blk), 0)
+
+        acc[...] = jnp.zeros_like(acc)
+        row_base = i * n_blk
+        row_ids = jax.lax.broadcasted_iota(
+            jnp.int32, (n_blk, e_blk), 0) + row_base
+
+        def dma(slot, chunk):
+            e_start = start + chunk * e_blk
+            return pltpu.make_async_copy(
+                val_hbm.at[pl.ds(e_start, e_blk), :], vscr.at[slot],
+                sems.at[slot])
+
+        # warm the ring: start the first `slots` chunk DMAs back-to-back
+        for p in range(slots):
+            @pl.when(p < num_chunks)
+            def _():
+                dma(p, p).start()
+
+        def body(chunk, _):
+            slot = chunk % slots
+
+            dma(slot, chunk).wait()
+            e_start = start + chunk * e_blk
+            recv = recv_vmem[:, pl.ds(e_start, e_blk)]
+            vals = vscr[slot]
+            onehot = (recv == row_ids).astype(vals.dtype)
+            acc[...] += onehot_dot(onehot, vals, exact)
+
+            # refill this slot with the chunk `slots` ahead
+            @pl.when(chunk + slots < num_chunks)
+            def _():
+                dma(slot, chunk + slots).start()
+            return ()
+
+        jax.lax.fori_loop(0, num_chunks, body, (), unroll=False)
+        out_ref[...] = acc[...].astype(out_ref.dtype)
+
+    return _kernel
+
+
+@functools.partial(jax.jit, static_argnames=("num_segments", "exact",
+                                              "n_blk", "e_blk", "slots"))
+def _sorted_segment_sum_pallas_v3(values: Array, receivers: Array,
+                                  num_segments: int,
+                                  exact: bool = False,
+                                  n_blk: int = N_BLK,
+                                  e_blk: int = E_BLK,
+                                  slots: int = 2) -> Array:
+    e, f_in = values.shape
+    n_pad = ((num_segments + n_blk - 1) // n_blk) * n_blk
+    e_pad = ((e + e_blk - 1) // e_blk) * e_blk
+    f = ((f_in + 127) // 128) * 128
+    if e_pad != e or f != f_in:
+        values = jnp.pad(values, ((0, e_pad - e), (0, f - f_in)))
+        receivers = jnp.pad(receivers, (0, e_pad - e),
+                            constant_values=jnp.int32(n_pad))
+    recv = receivers.astype(jnp.int32)
+    bounds = jnp.arange(0, n_pad + 1, n_blk, dtype=jnp.int32)
+    offsets = jnp.searchsorted(recv, bounds, side="left").astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_pad // n_blk,),
+        in_specs=[
+            # whole receiver array resident in VMEM for the whole call
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # values stay in HBM
+        ],
+        out_specs=pl.BlockSpec((n_blk, f), lambda i, off: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((n_blk, f), jnp.float32),
+            pltpu.VMEM((slots, e_blk, f), values.dtype),
+            pltpu.SemaphoreType.DMA((slots,)),
+        ],
+    )
+    out = pl.pallas_call(
+        _make_kernel_v3(exact, n_blk, e_blk, slots),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, f), values.dtype),
+    )(offsets, recv[None, :], values)
+    return out[:num_segments, :f_in]
+
+
 def sorted_segment_sum_pallas(values: Array, receivers: Array,
                               num_segments: int,
                               exact: bool = False) -> Array:
@@ -300,10 +424,16 @@ def sorted_segment_sum_pallas(values: Array, receivers: Array,
     """
     from jax.custom_derivatives import linear_call
 
+    if IMPL == "v3":
+        impl = functools.partial(_sorted_segment_sum_pallas_v3, slots=SLOTS)
+    elif IMPL == "v2":
+        impl = _sorted_segment_sum_pallas_v2
+    else:
+        impl = _sorted_segment_sum_pallas
+
     def fwd(res, vals):
         (recv,) = res
-        return _sorted_segment_sum_pallas(vals, recv, num_segments,
-                                          exact=exact)
+        return impl(vals, recv, num_segments, exact=exact)
 
     def trans(res, ct):
         (recv,) = res
