@@ -92,7 +92,8 @@ def test_schnet_force_matches_reference():
                   rtol=1e-4, atol=1e-4)
 
     # padding-size sweep: forces must be invariant to the static batch shape
-    big = batch_graphs(_prep(graphs), n_node_pad=128, n_edge_pad=512)
+    big = batch_graphs(_prep(graphs), n_node_pad=256,
+                       n_edge_pad=batch.n_edge + 512)
     out2 = fmodel.apply(params, big)
     _check_forces(out2["force"], big, graphs, ref_force,
                   rtol=1e-4, atol=1e-4)
@@ -175,7 +176,9 @@ def test_hdnnp2nd_force_matches_reference():
                   rtol=1e-4, atol=2e-4)
 
     big = batch_graphs(_prep(graphs, keep_angles=True),
-                       n_node_pad=128, n_edge_pad=1024, n_angle_pad=8192)
+                       n_node_pad=256, n_edge_pad=batch.n_edge + 512,
+                       n_angle_pad=(batch.angles.shape[0] + 1024
+                                    if batch.angles is not None else None))
     out2 = fmodel.apply(params, big, train=False)
     _check_forces(out2["force"], big, graphs, ref_force,
                   rtol=1e-4, atol=2e-4)
@@ -221,7 +224,8 @@ def test_hdnnp4th_force_charge_esp_coupling_matches_reference():
     # padding sweep incl. larger Qeq matrix padding
     big = batch_graphs(_prep(graphs, keep_angles=True, keep_esp=True),
                        global_keys=("total_charge",),
-                       n_node_pad=128, n_edge_pad=1024, n_angle_pad=8192)
+                       n_node_pad=256, n_edge_pad=batch.n_edge + 512,
+                       n_angle_pad=batch.angles.shape[0] + 1024)
     out2 = fmodel.apply(params, big, train=False)
     _check_forces(out2["force"], big, graphs, ref_force,
                   rtol=1e-4, atol=5e-4)

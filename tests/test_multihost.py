@@ -10,8 +10,11 @@ shared shard_map DP step over the 4-device global mesh.
 
 The per-step losses must match a single-process 4-device run on the same
 data — step-for-step, because gradients are pmean-reduced over the global
-mesh either way. This is the multi-host evidence VERDICT r1 item 3 asked
-for (the reference has no distributed path at all, SURVEY §2.12).
+mesh either way. Two model tiers (VERDICT r2 item 6): a depth-1 SchNet
+energy step, and the FLAGSHIP HDNNP4th charge+energy+force step (ACSF
+G2+G4, Qeq charge solve, electrostatics, ESP force coupling) — the model
+that matters, not just the smoke model. (The reference has no distributed
+path at all, SURVEY §2.12.)
 """
 import json
 import os
@@ -39,15 +42,16 @@ from gcnn_keras_tpu.parallel.distributed import (
 assert maybe_initialize_distributed(), "distributed init failed"
 assert jax.process_count() == 2 and jax.device_count() == 4
 
-from test_multihost_common import build_graphs, build_step, run_steps
-graphs = build_graphs()
+from test_multihost_common import (build_graphs, build_step, run_steps,
+                                   loader_kwargs)
+kind = os.environ.get("MH_MODEL", "schnet")
+graphs = build_graphs(flagship=(kind == "hdnnp4th"))
 from gcnn_keras_tpu.parallel.mesh import make_mesh
 mesh = make_mesh()
-step, state = build_step(mesh)
+step, state = build_step(mesh, kind)
 batches = local_batch_iterator(graphs, int(os.environ["MH_BATCH"]), mesh,
                                seed=int(os.environ["MH_SEED"]),
-                               global_keys=("energy",),
-                               n_node_pad=32, n_edge_pad=160, max_nodes=8)
+                               **loader_kwargs(kind))
 losses = run_steps(step, state, batches, int(os.environ["MH_STEPS"]))
 if jax.process_index() == 0:
     print("LOSSES " + json.dumps(losses), flush=True)
@@ -60,8 +64,8 @@ import numpy as np
 import jax
 
 
-def build_graphs(n=%(n)d):
-    from gcnn_keras_tpu.graph.preprocess import set_range
+def build_graphs(n=%(n)d, flagship=False):
+    from gcnn_keras_tpu.graph.preprocess import set_range, set_angle
     rs = np.random.RandomState(7)
     graphs = []
     for _ in range(n):
@@ -71,28 +75,75 @@ def build_graphs(n=%(n)d):
              "energy": np.array([rs.randn()], dtype=np.float32)}
         g = set_range(g, max_distance=4.0, max_neighbours=8)
         g["edge_indices"] = g.pop("range_indices")
+        if flagship:
+            g = set_angle(g, range_indices="edge_indices")
+            g["force"] = (rs.randn(m, 3) * 0.1).astype(np.float32)
+            g["charge"] = (rs.randn(m) * 0.1).astype(np.float32)
+            g["esp"] = (rs.randn(m) * 0.02).astype(np.float32)
+            g["esp_grad"] = (rs.randn(m, 3) * 0.02).astype(np.float32)
+            g["total_charge"] = np.zeros((1,), dtype=np.float32)
         graphs.append(g)
     return graphs
 
 
-def build_step(mesh):
+def loader_kwargs(kind):
+    if kind == "hdnnp4th":
+        return dict(global_keys=("energy", "total_charge"),
+                    n_node_pad=32, n_edge_pad=160, n_angle_pad=1024,
+                    max_nodes=8)
+    return dict(global_keys=("energy",), n_node_pad=32, n_edge_pad=160,
+                max_nodes=8)
+
+
+def build_step(mesh, kind="schnet"):
     import optax
     from gcnn_keras_tpu.batch import batch_graphs
-    from gcnn_keras_tpu.models.schnet import make_model
     from gcnn_keras_tpu.parallel.data_parallel import make_dp_train_step
-    from gcnn_keras_tpu.training.losses import masked_graph_mae
+    from gcnn_keras_tpu.training.losses import (masked_graph_mae,
+                                                masked_node_mae)
 
-    model = make_model(interaction_args={"units": 16}, depth=1,
-                       gauss_args={"bins": 8})
-    probe = batch_graphs(build_graphs()[:%(batch)d], np_out=True,
-                         n_graph_pad=%(batch)d + 1,
-                         global_keys=("energy",))
-    params = model.init(jax.random.PRNGKey(0), probe)
+    flagship = kind == "hdnnp4th"
+    probe = batch_graphs(build_graphs(flagship=flagship)[:%(batch)d],
+                         np_out=True, n_graph_pad=%(batch)d + 1,
+                         **{k: v for k, v in loader_kwargs(kind).items()
+                            if k != "global_keys"},
+                         global_keys=loader_kwargs(kind)["global_keys"])
 
-    def loss_fn(p, b):
-        out = model.apply(p, b)["output"]
-        return masked_graph_mae(out, b.globals["energy"],
-                                b.globals["graph_mask"]), {}
+    if flagship:
+        from gcnn_keras_tpu.models.hdnnp4th import make_model_behler
+        from gcnn_keras_tpu.model.force import EnergyForceModel
+        elements = [1, 6, 8]
+        inner = make_model_behler(
+            g2_kwargs={"eta": [0.0, 0.3], "rs": [0.0, 2.5], "rc": 4.0,
+                       "elements": elements},
+            g4_kwargs={"eta": [0.0, 0.3], "lamda": [-1.0, 1.0], "rc": 4.0,
+                       "zeta": [1.0, 4.0], "elements": elements,
+                       "multiplicity": 2.0},
+            mlp_charge_kwargs={"units": [16, 1], "num_relations": 6,
+                               "activation": ["swish", "linear"]},
+            mlp_local_kwargs={"units": [16, 1], "num_relations": 6,
+                              "activation": ["swish", "linear"]})
+        model = EnergyForceModel(inner, use_esp_coupling=True)
+        params = model.init(jax.random.PRNGKey(0), probe, train=False)
+
+        def loss_fn(p, b):
+            out = model.apply(p, b, train=False)
+            e = masked_graph_mae(out["energy"], b.globals["energy"],
+                                 b.globals["graph_mask"])
+            f = masked_node_mae(out["force"], b.nodes["force"], b.node_mask)
+            q = masked_node_mae(out["charge"], b.nodes["charge"],
+                                b.node_mask)
+            return 50.0 * q + e + 200.0 * f, {}
+    else:
+        from gcnn_keras_tpu.models.schnet import make_model
+        model = make_model(interaction_args={"units": 16}, depth=1,
+                           gauss_args={"bins": 8})
+        params = model.init(jax.random.PRNGKey(0), probe)
+
+        def loss_fn(p, b):
+            out = model.apply(p, b)["output"]
+            return masked_graph_mae(out, b.globals["energy"],
+                                    b.globals["graph_mask"]), {}
 
     opt = optax.adam(1e-2)
     step = make_dp_train_step(loss_fn, opt, mesh, donate=False)
@@ -126,7 +177,7 @@ def common_module(tmp_path_factory):
     return str(d)
 
 
-def test_two_process_dp_matches_single_process(common_module):
+def _run_two_process(common_module, kind, steps):
     port = _free_port()
     env_base = dict(
         os.environ,
@@ -138,7 +189,8 @@ def test_two_process_dp_matches_single_process(common_module):
         JAX_PLATFORMS="cpu",
         JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
         JAX_NUM_PROCESSES="2",
-        MH_BATCH=str(BATCH), MH_SEED=str(SEED), MH_STEPS=str(STEPS),
+        MH_BATCH=str(BATCH), MH_SEED=str(SEED), MH_STEPS=str(steps),
+        MH_MODEL=kind,
     )
     procs = []
     for pid in range(2):
@@ -152,28 +204,32 @@ def test_two_process_dp_matches_single_process(common_module):
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
-    loss_line = [ln for ln in outs[0].splitlines() if ln.startswith("LOSSES ")]
+    loss_line = [ln for ln in outs[0].splitlines()
+                 if ln.startswith("LOSSES ")]
     assert loss_line, f"no losses printed:\n{outs[0][-2000:]}"
     mh_losses = json.loads(loss_line[0][len("LOSSES "):])
-    assert len(mh_losses) == STEPS
+    assert len(mh_losses) == steps
+    return mh_losses
 
-    # --- single-process reference on a local 4-device mesh ----------------
+
+def _single_process_reference(common_module, kind, steps):
     sys.path.insert(0, common_module)
     try:
         import importlib
         common = importlib.import_module("test_multihost_common")
+        importlib.reload(common)
     finally:
         sys.path.remove(common_module)
     import jax
-    from gcnn_keras_tpu.batch import batch_graphs  # noqa: F401 (jax init)
     from gcnn_keras_tpu.parallel.mesh import (
         make_mesh, stack_batches, shard_stacked_batch)
     from gcnn_keras_tpu.parallel.distributed import host_shard_indices
     from gcnn_keras_tpu.data.loader import GraphBatchLoader
 
-    graphs = common.build_graphs()
+    graphs = common.build_graphs(flagship=(kind == "hdnnp4th"))
     mesh = make_mesh(4)
-    step, state = common.build_step(mesh)
+    step, state = common.build_step(mesh, kind)
+    kw = common.loader_kwargs(kind)
 
     # replicate the two hosts' local streams exactly
     host_iters = []
@@ -181,18 +237,30 @@ def test_two_process_dp_matches_single_process(common_module):
         idx = host_shard_indices(len(graphs), process_index=pid,
                                  process_count=2, seed=SEED)
         loader = GraphBatchLoader([graphs[i] for i in idx], BATCH,
-                                  shuffle=True, seed=SEED,
-                                  global_keys=("energy",),
-                                  n_node_pad=32, n_edge_pad=160, max_nodes=8)
+                                  shuffle=True, seed=SEED, **kw)
         host_iters.append(iter(loader))
 
     ref_losses = []
-    for _ in range(STEPS):
+    for _ in range(steps):
         group = []
         for it in host_iters:          # 2 sub-batches per host per step
             group += [next(it), next(it)]
         stacked = shard_stacked_batch(stack_batches(group), mesh)
         state, metrics = step(state, stacked)
         ref_losses.append(float(np.asarray(jax.device_get(metrics["loss"]))))
+    return ref_losses
 
-    np.testing.assert_allclose(mh_losses, ref_losses, rtol=2e-5, atol=1e-6)
+
+def test_two_process_dp_matches_single_process(common_module):
+    mh = _run_two_process(common_module, "schnet", STEPS)
+    ref = _single_process_reference(common_module, "schnet", STEPS)
+    np.testing.assert_allclose(mh, ref, rtol=2e-5, atol=1e-6)
+
+
+def test_two_process_flagship_hdnnp4th_force_step(common_module):
+    """The FLAGSHIP charge+energy+force model across two real processes:
+    one full DP step (Qeq solve + ESP force coupling inside the
+    differentiated region) must match the single-process 4-device run."""
+    mh = _run_two_process(common_module, "hdnnp4th", 1)
+    ref = _single_process_reference(common_module, "hdnnp4th", 1)
+    np.testing.assert_allclose(mh, ref, rtol=5e-5, atol=1e-6)

@@ -68,6 +68,11 @@ def molecules():
           [2.930, -0.690, 1.180], [3.830, 2.320, 0.060]]),
     ]
     from kgcnn.graph.adj import get_angle_indices
+    # r3 (VERDICT r2 item 5): extend past 17 atoms — 21-atom aspirin (the
+    # MD17 molecule the BASELINE table quotes) and a 50-atom alkane chain
+    from golden_molecules import alkane_chain, aspirin
+    mols.append(tuple(aspirin()))
+    mols.append(tuple(alkane_chain(16)))
     rs = np.random.RandomState(101)
     graphs = []
     for z, xyz in mols:

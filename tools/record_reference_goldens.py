@@ -201,11 +201,15 @@ def patch_legacy_activations():
 
     def patched(identifier):
         if isinstance(identifier, str) and identifier.startswith("kgcnn>"):
+            import inspect
             from tf_keras.src.saving.object_registration import \
                 get_custom_objects
             cls = get_custom_objects().get(identifier)
             if cls is not None:
-                return cls()
+                # registered CLASSES (leaky_relu etc.) need instantiation;
+                # plain registered FUNCTIONS (shifted_softplus) are the
+                # activation already
+                return cls() if inspect.isclass(cls) else cls
         return orig(identifier)
 
     act_src.get = patched
