@@ -522,6 +522,8 @@ def sender_node_table(batch: GraphBatch, values: Array) -> Array:
         return values
     ax = batch.part_axis
     h = batch.halo_size
+    if h < 0:
+        raise ValueError("halo_size must be >= 0")
     if h > 0:
         n = batch.n_shards
         right = [(i, (i + 1) % n) for i in range(n)]
@@ -530,5 +532,16 @@ def sender_node_table(batch: GraphBatch, values: Array) -> Array:
         from_right = jax.lax.ppermute(values[:h], ax, left)
         return jnp.concatenate([from_left, values, from_right], axis=0)
     return jax.lax.all_gather(values, ax, tiled=True)
+
+
+def graph_psum(batch: GraphBatch, per_graph: Array) -> Array:
+    """Promote a shard-local per-graph reduction ``(G, ...)`` to the GLOBAL
+    per-graph value on an edge-partitioned batch (identity otherwise).
+    Downstream nonlinearities (readout MLPs, energy couplings) need the
+    full sum, not a partial — and AD follows the E / n_shards recipe of
+    ``layers/aggr.pool_nodes_to_graph``."""
+    if batch.part_axis is None:
+        return per_graph
+    return jax.lax.psum(per_graph, batch.part_axis)
 
 

@@ -112,14 +112,18 @@ class ACSFG2(nn.Module):
         z = z if z is not None else batch.nodes["node_number"].astype(jnp.int32)
         pos = positions if positions is not None else batch.nodes["node_coordinates"]
         recv, send = batch.receivers, batch.senders
+        # edge-partitioned shard: senders index the halo-exchanged tables
+        from ...batch import sender_node_table
+        z_tab = sender_node_table(batch, z)
+        pos_tab = sender_node_table(batch, pos)
         zi = jnp.clip(z[recv], 0, _MAX_Z - 1)
-        zj = jnp.clip(z[send], 0, _MAX_Z - 1)
+        zj = jnp.clip(z_tab[send], 0, _MAX_Z - 1)
         zi_map = rev[zi]
         zj_map = rev[zj]
         params = tab[zi_map, zj_map] if per_target else tab[zj_map]  # (E, m, 3)
         eta, rs, rc = params[..., 0], params[..., 1], params[..., 2]
 
-        vec = pos[recv] - pos[send]
+        vec = pos[recv] - pos_tab[send]
         if "range_image" in batch.edges and "graph_lattice" in batch.globals:
             image = batch.edges["range_image"].astype(pos.dtype)
             lat_e = batch.globals["graph_lattice"][batch.edge_graph_id]
@@ -203,9 +207,14 @@ class ACSFG4(nn.Module):
         z = z if z is not None else batch.nodes["node_number"].astype(jnp.int32)
         pos = positions if positions is not None else batch.nodes["node_coordinates"]
         i, j, k = batch.angles[:, 0], batch.angles[:, 1], batch.angles[:, 2]
+        # edge-partitioned shard: the angle's center i is LOCAL, its
+        # neighbors j/k are halo-table indices (parallel/partitioned.py)
+        from ...batch import sender_node_table
+        z_tab = sender_node_table(batch, z)
+        pos_tab = sender_node_table(batch, pos)
         zi = jnp.clip(z[i], 0, _MAX_Z - 1)
-        zj = jnp.clip(z[j], 0, _MAX_Z - 1)
-        zk = jnp.clip(z[k], 0, _MAX_Z - 1)
+        zj = jnp.clip(z_tab[j], 0, _MAX_Z - 1)
+        zk = jnp.clip(z_tab[k], 0, _MAX_Z - 1)
         zi_map = rev[zi]
         zjk_map = rev_pair[zj, zk]
         params = tab[zi_map, zjk_map] if per_target else tab[zjk_map]  # (A, m, 4)
@@ -213,9 +222,10 @@ class ACSFG4(nn.Module):
                                 params[..., 2], params[..., 3])
 
         eps = 1e-12
-        vij = pos[j] - pos[i]
-        vik = pos[k] - pos[i]
-        vjk = pos[k] - pos[j]
+        pj, pk = pos_tab[j], pos_tab[k]
+        vij = pj - pos[i]
+        vik = pk - pos[i]
+        vjk = pk - pj
 
         def dist(v):
             return jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), eps))

@@ -115,6 +115,23 @@ class CENTCharge(nn.Module):
             qtot = jnp.zeros((batch.n_graphs,), dtype=pos.dtype)
         qtot = qtot.reshape(batch.n_graphs, -1)[:, 0]
 
+        if batch.part_axis is not None:
+            # edge-partitioned shard of ONE giant molecule: row-sharded
+            # matrix-free CG over the mesh axis (O(M^2/D) work per shard,
+            # never a materialized M x M) — the distributed long-range
+            # electrostatics the reference cannot express
+            # (kgcnn/layers/conv/hdnnp_conv.py:250 is one dense LU).
+            from .qeq_solver import solve_qeq_rows_in_shard_map
+            sig = sigma_t[z]
+            diag_val = hardness[z] + 1.0 / (sig * math.sqrt(math.pi) + 1e-12)
+            maskf = batch.node_mask.astype(pos.dtype)
+            diag = jnp.where(batch.node_mask, diag_val, 1.0)
+            chi_flat = chi.reshape(chi.shape[0], -1)[:, 0]
+            q = solve_qeq_rows_in_shard_map(
+                pos, sig, diag, batch.node_mask, chi_flat, qtot[0],
+                batch.part_axis, tol=self.cg_tol)
+            return q * maskf
+
         G, M = batch.n_graphs, max(batch.max_nodes, 1)
         # padded per-graph tensors
         x_pad = flat_to_padded(pos, batch)                       # (G, M, 3)
@@ -195,11 +212,16 @@ class ElectrostaticEnergyGaussCharge(nn.Module):
         qf = q.reshape(q.shape[0], -1)[:, 0]
 
         recv, send = batch.receivers, batch.senders
-        vec = pos[recv] - pos[send]
+        # edge-partitioned shard: sender-side quantities read the halo table
+        from ...batch import graph_psum, sender_node_table
+        pos_t = sender_node_table(batch, pos)
+        z_t = sender_node_table(batch, z)
+        qf_t = sender_node_table(batch, qf)
+        vec = pos[recv] - pos_t[send]
         rij = jnp.sqrt(jnp.maximum(jnp.sum(vec * vec, axis=-1), 1e-12))
-        si, sj = sigma_t[z[recv]], sigma_t[z[send]]
+        si, sj = sigma_t[z[recv]], sigma_t[z_t[send]]
         gamma = jnp.sqrt(si**2 + sj**2 + 1e-12)
-        pair = qf[recv] * qf[send] * jax.scipy.special.erf(
+        pair = qf[recv] * qf_t[send] * jax.scipy.special.erf(
             rij / (gamma * math.sqrt(2.0))) / rij
         pair = pair * batch.edge_mask.astype(pair.dtype)
         e_pair = segment_sum(pair, batch.edge_graph_id, batch.n_graphs)
@@ -212,16 +234,18 @@ class ElectrostaticEnergyGaussCharge(nn.Module):
         self_e = self_e * batch.node_mask.astype(self_e.dtype)
         e_self = segment_sum(self_e, batch.graph_id, batch.n_graphs,
                              indices_are_sorted=True)
-        return (e_pair + e_self)[:, None]
+        return graph_psum(batch, e_pair + e_self)[:, None]
 
 
 def electrostatic_qmmm_energy(batch: GraphBatch, q: Array, esp: Array) -> Array:
     """E = sum_i q_i Phi_i per graph (``hdnnp_conv.py:446``). Returns (G, 1)."""
+    from ...batch import graph_psum
     qf = q.reshape(q.shape[0], -1)[:, 0]
     ef = esp.reshape(esp.shape[0], -1)[:, 0]
     contrib = qf * ef * batch.node_mask.astype(qf.dtype)
-    return segment_sum(contrib, batch.graph_id, batch.n_graphs,
-                       indices_are_sorted=True)[:, None]
+    return graph_psum(batch, segment_sum(
+        contrib, batch.graph_id, batch.n_graphs,
+        indices_are_sorted=True))[:, None]
 
 
 def electrostatic_qmmm_force(q: Array, esp_grad: Array) -> Array:

@@ -144,6 +144,97 @@ def solve_qeq_iterative_batch(pos: Array, sigma: Array, hardness_diag: Array,
 
 # ------------------------------------------- mesh-sharded giant molecule ---
 
+def solve_qeq_rows_in_shard_map(pos_loc: Array, sig_loc: Array,
+                                diag_loc: Array, mask_loc: Array,
+                                chi_loc: Array, qtot: Array, axis: str,
+                                tol: float = 1e-6,
+                                maxiter: Optional[int] = None) -> Array:
+    """Row-sharded constrained Qeq CG for ONE giant molecule, callable from
+    INSIDE an existing ``shard_map`` over ``axis`` (the edge-partitioned
+    model path, ``parallel/partitioned.py``). Each shard owns M/D
+    consecutive rows in global order; per CG iteration the (M,) iterate is
+    all-gathered over ICI and this shard computes its row block of the
+    erf-kernel matvec — O(M^2/D) work, never a materialized M x M.
+    Returns this shard's LOCAL charges (M/D,).
+
+    All collectives are linear (all_gather / the implicit reduce-scatter of
+    its transpose), and ``jax.scipy.sparse.linalg.cg`` carries the implicit
+    adjoint solve, so forces (and grad-of-grad training) differentiate
+    through this exactly like the single-device solver — PROVIDED the
+    adjoint solve's right-hand side is consistent across shards: each
+    shard's loss seeds a cotangent only for ITS slice of the replicated
+    solution, and ``custom_linear_solve``'s transpose would hand those
+    differing vectors straight to the distributed matvec (which mixes
+    per-device inputs via all_gather — garbage unless replicated). The
+    ``_replicated_adjoint`` wrapper below (identity forward, psum
+    transpose: the adjoint pair of broadcast/sum) reconciles the
+    cotangents into the one full rhs before the adjoint CG runs."""
+
+    from jax.custom_derivatives import linear_call
+
+    def _replicated_adjoint(x):
+        return linear_call(lambda _, v: v,
+                           lambda _, ct: jax.lax.psum(ct, axis), None, x)
+    m_loc = pos_loc.shape[0]
+    maskf_loc = mask_loc.astype(pos_loc.dtype)
+    i = jax.lax.axis_index(axis)
+
+    def _gather_r(v):
+        """all_gather for REPLICATED-cotangent consumers (the CG's rhs and
+        the matvec's output, whose cotangents are identical on every shard
+        thanks to ``_replicated_adjoint`` below): the standard psum-scatter
+        transpose would count each path D times — taking this shard's
+        SLICE of the (replicated) cotangent counts it exactly once.
+        Gathers consumed INSIDE the matvec (pos/sig: per-row-block
+        cotangents genuinely differ per shard) keep the standard summing
+        transpose."""
+
+        def trans(_, ct):
+            return jax.lax.dynamic_slice(
+                ct, (i * m_loc,) + (0,) * (ct.ndim - 1),
+                (m_loc,) + ct.shape[1:])
+
+        return linear_call(
+            lambda _, x: jax.lax.all_gather(x, axis, tiled=True),
+            trans, None, v)
+
+    pos_all = jax.lax.all_gather(pos_loc, axis, tiled=True)
+    sig_all = jax.lax.all_gather(sig_loc, axis, tiled=True)
+    mask_all = jax.lax.all_gather(maskf_loc, axis, tiled=True)
+    chi_all = _gather_r(chi_loc * maskf_loc)
+
+    def matvec(q_all):
+        diff = pos_loc[:, None, :] - pos_all[None, :, :]
+        dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
+        gamma = jnp.sqrt(sig_loc[:, None] ** 2 + sig_all[None, :] ** 2
+                         + 1e-12)
+        off = jax.scipy.special.erf(dist / (gamma * math.sqrt(2.0))) / dist
+        row_g = jax.lax.broadcasted_iota(
+            jnp.int32, (m_loc, pos_all.shape[0]), 0) + i * m_loc
+        col_g = jax.lax.broadcasted_iota(
+            jnp.int32, (m_loc, pos_all.shape[0]), 1)
+        off = jnp.where(row_g == col_g, 0.0, off) * mask_all[None, :]
+        local = (off @ q_all) * maskf_loc + diag_loc * \
+            jax.lax.dynamic_slice(q_all, (i * m_loc,), (m_loc,))
+        return _gather_r(local)
+
+    inv_diag_all = _gather_r(1.0 / jnp.maximum(diag_loc, 1e-6))
+
+    def cg(b):
+        x, _ = jax.scipy.sparse.linalg.cg(
+            matvec, b, tol=tol, M=lambda x: inv_diag_all * x,
+            maxiter=maxiter)
+        return x
+
+    ones = mask_all
+    x1 = cg(chi_all)
+    x2 = cg(ones)
+    denom = jnp.sum(ones * x2)
+    lam = (jnp.sum(ones * x1) - qtot) / jnp.where(denom != 0, denom, 1.0)
+    q_all = (x1 - lam * x2) * mask_all
+    q_all = _replicated_adjoint(q_all)
+    return jax.lax.dynamic_slice(q_all, (i * m_loc,), (m_loc,))
+
 def solve_qeq_iterative_sharded(pos: Array, sigma: Array,
                                 hardness_diag: Array, chi: Array,
                                 qtot: Array, mask: Array, mesh: Mesh,

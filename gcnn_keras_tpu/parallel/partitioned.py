@@ -25,6 +25,19 @@ Pieces:
   region); per-device surrogate gradients are psum'd — exact vs the
   single-device oracle by test.
 
+The flagship HDNNP4th also runs partitioned (ACSF angle triples carry
+halo-encoded neighbor ids; the Qeq charge solve is the ROW-SHARDED
+matrix-free CG of ``layers/conv/qeq_solver.solve_qeq_rows_in_shard_map``):
+energy, forces, charges, and energy(-and-charge)-loss training all match
+the dense-Qeq single-device oracle. KNOWN LIMIT: FORCE-loss training on a
+partitioned HDNNP4th (grad-of-grad THROUGH the distributed CG) is not yet
+adjoint-consistent on the chi path — the implicit-solve transpose's
+replicated-cotangent reconciliation (see qeq_solver) is proven to first
+order only. HDNNP4th force TRAINING should use DP over molecules (its
+molecules fit on a chip; the giant-system need is MD/inference, which is
+exact here); lifting this needs vma-tracked (check_vma=True) collectives
+through ``lax.custom_linear_solve``.
+
 No reference counterpart: kgcnn is strictly single-device and caps system
 size in preprocessing instead (``kgcnn/graph/preprocessor.py:264-269``,
 SURVEY §2.12 / §5 "long-context analog").
@@ -58,6 +71,10 @@ class PartitionedInputs(NamedTuple):
     order: np.ndarray            # new_id -> old_id permutation
     halo_size: int               # 0 => all-gather strategy
     remote_fraction: float       # achieved halo fraction (diagnostics)
+    # optional: angle triples (HDNNP/ACSF) — center i LOCAL id, j/k in the
+    # same encoding as senders_idx; sorted by center per shard
+    angles_idx: Optional[np.ndarray] = None    # (D, A_loc, 3) int32
+    angle_mask: Optional[np.ndarray] = None    # (D, A_loc) bool
 
 
 def fit_halo(part: PartitionedGraph, round_to: int = 64,
@@ -73,17 +90,46 @@ def fit_halo(part: PartitionedGraph, round_to: int = 64,
                part.n_local)
 
 
+def _angle_halo_need(new_ang: np.ndarray, n_loc: int) -> int:
+    """Smallest halo covering every angle's j/k from the center's shard, or
+    -1 if some neighbor lies beyond the ring neighbors."""
+    if len(new_ang) == 0:
+        return 0
+    owner = new_ang[:, 0] // n_loc
+    need = 0
+    for col in (1, 2):
+        rel = new_ang[:, col] - owner * n_loc
+        if np.any(rel < -n_loc) or np.any(rel >= 2 * n_loc):
+            return -1
+        need = max(need, int(np.max(np.maximum(-rel, rel - n_loc + 1),
+                                    initial=0)))
+    return need
+
+
 def prepare_partitioned(z: np.ndarray, pos: np.ndarray, senders: np.ndarray,
                         receivers: np.ndarray, n_devices: int,
-                        locality_sort: bool = True) -> PartitionedInputs:
+                        locality_sort: bool = True,
+                        angles: Optional[np.ndarray] = None
+                        ) -> PartitionedInputs:
     """Host-side: locality-sorted block partition + automatic strategy
-    choice (halo when the partition supports it, else all-gather)."""
+    choice (halo when the partition supports it, else all-gather).
+
+    ``angles``: optional (A, 3) int (i, j, k) node triples (center i);
+    each angle goes to its center's shard, and j/k are encoded like
+    senders (halo-buffer or global ids)."""
     part = partition_graph(pos.astype(np.float32), senders, receivers,
                            n_devices, locality_sort=locality_sort,
                            positions=pos)
     n_loc = part.n_local
+    n = len(z)
     z_pad = np.zeros(n_loc * n_devices, dtype=np.int32)
-    z_pad[:len(z)] = np.asarray(z, dtype=np.int32)[part.order]
+    z_pad[:n] = np.asarray(z, dtype=np.int32)[part.order]
+
+    inv = np.empty(n, dtype=np.int64)
+    inv[part.order] = np.arange(n)
+    new_ang = (inv[np.asarray(angles, dtype=np.int64)]
+               if angles is not None and len(angles) else
+               np.zeros((0, 3), dtype=np.int64))
 
     # diagnostics: fraction of real edges whose sender is off-shard
     remote = 0
@@ -96,6 +142,15 @@ def prepare_partitioned(z: np.ndarray, pos: np.ndarray, senders: np.ndarray,
     remote_fraction = remote / max(total, 1)
 
     halo = fit_halo(part)
+    if halo > 0 and angles is not None:
+        # the halo must also cover every angle's j/k from the center's shard
+        need_a = _angle_halo_need(new_ang, n_loc)
+        need_e = required_halo_size(part)
+        if need_a < 0 or max(need_a, need_e) > 0.5 * n_loc:
+            halo = 0
+        else:
+            halo = min(max(((max(need_a, need_e) + 63) // 64) * 64, 64),
+                       n_loc)
     if halo > 0:
         senders_idx, ok = encode_halo_senders(part, halo, n_devices)
         if not ok:
@@ -103,17 +158,48 @@ def prepare_partitioned(z: np.ndarray, pos: np.ndarray, senders: np.ndarray,
             halo, senders_idx = 0, part.senders_global
     else:
         senders_idx = part.senders_global
+
+    angles_idx = angle_mask = None
+    if angles is not None:
+        owner = (new_ang[:, 0] // n_loc if len(new_ang) else
+                 np.zeros((0,), dtype=np.int64))
+        per_shard = []
+        a_loc = 128
+        for d in range(n_devices):
+            sel = new_ang[owner == d]
+            i_loc = sel[:, 0] - d * n_loc
+            if halo > 0:
+                jk = sel[:, 1:] - d * n_loc + halo  # halo-buffer encoding
+            else:
+                jk = sel[:, 1:]                     # global (all-gather)
+            o = np.argsort(i_loc, kind="stable")    # sorted pooling path
+            per_shard.append((i_loc[o], jk[o]))
+            a_loc = max(a_loc, len(sel))
+        a_loc = ((a_loc + 127) // 128) * 128
+        angles_idx = np.zeros((n_devices, a_loc, 3), dtype=np.int32)
+        angle_mask = np.zeros((n_devices, a_loc), dtype=bool)
+        for d, (i_loc, jk) in enumerate(per_shard):
+            m = len(i_loc)
+            angles_idx[d, :m, 0] = i_loc
+            angles_idx[d, :m, 1:] = jk
+            angle_mask[d, :m] = True
+            # padding rows keep the center sort (max local id) and point
+            # j/k at slot 0; ACSFG4 masks their contributions
+            angles_idx[d, m:, 0] = n_loc - 1
     return PartitionedInputs(
         z=z_pad.reshape(n_devices, n_loc),
         pos=part.node_feats.astype(np.float32),
         senders_idx=senders_idx.astype(np.int32),
         receivers_local=part.receivers_local.astype(np.int32),
         edge_mask=part.edge_mask, node_mask=part.node_mask,
-        order=part.order, halo_size=halo, remote_fraction=remote_fraction)
+        order=part.order, halo_size=halo, remote_fraction=remote_fraction,
+        angles_idx=angles_idx, angle_mask=angle_mask)
 
 
-def build_partitioned_batch(pin: PartitionedInputs,
-                            axis: str = "data") -> GraphBatch:
+def build_partitioned_batch(pin: PartitionedInputs, axis: str = "data",
+                            node_props: Optional[Dict[str, np.ndarray]] = None,
+                            global_props: Optional[Dict[str, np.ndarray]] = None
+                            ) -> GraphBatch:
     """Stacked (leading dim D) ``GraphBatch`` for one partitioned graph.
 
     Each shard is graph slot 0 of a 2-slot batch (slot 1 absorbs padding
@@ -121,23 +207,38 @@ def build_partitioned_batch(pin: PartitionedInputs,
     sender gathers halo-aware. Padding edges CANNOT point at a dead node
     here (a shard's slots may all be real), so ``pool_edges_to_nodes``
     masks messages by ``edge_mask`` when ``part_axis`` is set.
+
+    ``node_props``: extra per-node arrays in ORIGINAL node order (e.g.
+    ``esp``), partitioned via ``shard_node_array``. ``global_props``:
+    per-graph scalars (e.g. ``total_charge``), replicated on every shard
+    in graph slot 0.
     """
     D, n_loc = pin.z.shape
     graph_id = np.where(pin.node_mask, 0, 1).astype(np.int32)
     node_loc = np.broadcast_to(
         np.arange(n_loc, dtype=np.int32)[None], (D, n_loc)).copy()
     graph_mask = np.broadcast_to(np.array([True, False])[None], (D, 2)).copy()
+    nodes = {"node_number": pin.z, "node_coordinates": pin.pos}
+    for k, v in (node_props or {}).items():
+        nodes[k] = shard_node_array(pin, np.asarray(v))
+    globals_ = {"graph_mask": graph_mask}
+    for k, v in (global_props or {}).items():
+        arr = np.zeros((D, 2) + np.shape(np.atleast_1d(v))[1:],
+                       dtype=np.asarray(v, dtype=np.float32).dtype)
+        arr[:, 0] = np.asarray(v)
+        globals_[k] = arr
     return GraphBatch(
-        nodes={"node_number": pin.z,
-               "node_coordinates": pin.pos},
+        nodes=nodes,
         edges={},
-        globals={"graph_mask": graph_mask},
+        globals=globals_,
         senders=pin.senders_idx,
         receivers=pin.receivers_local,
         graph_id=graph_id,
         node_loc=node_loc,
         node_mask=pin.node_mask,
         edge_mask=pin.edge_mask,
+        angles=pin.angles_idx,
+        angle_mask=pin.angle_mask,
         n_graphs=2,
         max_nodes=n_loc,
         part_axis=axis,

@@ -283,3 +283,142 @@ def test_encode_halo_strict_raises(mesh):
         pytest.skip("random graph unexpectedly local")
     with pytest.raises(ValueError):
         encode_halo_senders(part, 1, 8, strict=True)
+
+
+def _hdnnp_system(n=600, seed=2):
+    from gcnn_keras_tpu.graph.preprocess import set_range, set_angle
+    rs = np.random.RandomState(seed)
+    t = np.arange(n) * 1.3
+    pos = np.stack([t, 2.0 * np.sin(t * 0.05), 2.0 * np.cos(t * 0.03)],
+                   1).astype(np.float32)
+    pos += rs.randn(n, 3).astype(np.float32) * 0.05
+    z = rs.choice([1, 6, 8], size=n).astype(np.int32)
+    esp = (rs.randn(n) * 0.02).astype(np.float32)
+    g = {"node_number": z, "node_coordinates": pos}
+    g = set_range(g, max_distance=3.0, max_neighbours=8)
+    g["edge_indices"] = g.pop("range_indices")
+    g = set_angle(g, range_indices="edge_indices")
+    angles = g["angle_indices_nodes"]
+    send, recv = g["edge_indices"][:, 1], g["edge_indices"][:, 0]
+    return g, z, pos, send, recv, angles, esp, rs
+
+
+def _hdnnp_model(solver, cg_tol=1e-10):
+    from gcnn_keras_tpu.models.hdnnp4th import make_model_behler
+    return make_model_behler(
+        g2_kwargs={"eta": [0.0, 0.3], "rs": [0.0, 2.5], "rc": 3.0,
+                   "elements": [1, 6, 8]},
+        g4_kwargs={"eta": [0.0, 0.3], "lamda": [-1.0, 1.0], "rc": 3.0,
+                   "zeta": [1.0, 4.0], "elements": [1, 6, 8],
+                   "multiplicity": 2.0},
+        mlp_charge_kwargs={"units": [16, 1], "num_relations": 6,
+                           "activation": ["swish", "linear"]},
+        mlp_local_kwargs={"units": [16, 1], "num_relations": 6,
+                          "activation": ["swish", "linear"]},
+        electrostatic_kwargs={"param_trainable": False, "solver": solver,
+                              "cg_tol": cg_tol})
+
+
+def test_partitioned_hdnnp4th_energy_force_charges_sharded_qeq(mesh):
+    """The FLAGSHIP model partitioned: ACSF G2+G4 over halo-encoded
+    edges/angle-triples, the ROW-SHARDED matrix-free CG Qeq (O(M^2/D) per
+    shard, never a materialized M x M), screened-Coulomb + QM/MM energies —
+    energy, forces AND charges on a 600-atom molecule == the single-device
+    dense-Qeq oracle."""
+    g, z, pos, send, recv, angles, esp, _ = _hdnnp_system()
+    n = len(z)
+    model_o = _hdnnp_model("dense")
+    model_p = _hdnnp_model("auto")
+
+    from gcnn_keras_tpu.batch import batch_graphs
+    ob = batch_graphs([dict(g, esp=esp,
+                            total_charge=np.zeros(1, np.float32))],
+                      global_keys=("total_charge",))
+    variables = model_o.init(jax.random.PRNGKey(0), ob)
+
+    def e_fn(p):
+        out = model_o.apply(variables, ob.replace_nodes(node_coordinates=p))
+        return out["output"][0, 0]
+
+    e_ref, gref = jax.value_and_grad(e_fn)(ob.nodes["node_coordinates"])
+    f_ref = -np.asarray(gref)[:n]
+    q_ref = np.asarray(model_o.apply(variables, ob)["charge"])[:n]
+
+    pin = prepare_partitioned(z, pos, send, recv, mesh.shape["data"],
+                              angles=angles)
+    assert pin.halo_size > 0
+    batch = build_partitioned_batch(
+        pin, node_props={"esp": esp},
+        global_props={"total_charge": np.zeros(1, np.float32)})
+    sh = NamedSharding(mesh, P("data"))
+    batch = jax.tree.map(lambda a: jax.device_put(jnp.asarray(a), sh), batch)
+    fn = make_partitioned_energy_force(model_p, mesh)
+    e, f = fn(variables, batch)
+    from gcnn_keras_tpu.parallel.partitioned import unshard_node_array
+    f = unshard_node_array(pin, np.asarray(f))
+
+    np.testing.assert_allclose(float(e), float(e_ref), rtol=1e-5)
+    np.testing.assert_allclose(f, f_ref, rtol=1e-3, atol=1e-5)
+
+    from jax import shard_map as _sm
+
+    def q_device(variables, b):
+        lb = jax.tree.map(lambda x: x[0], b)
+        return model_p.apply(variables, lb)["charge"][None]
+
+    qfn = jax.jit(_sm(q_device, mesh=mesh, in_specs=(P(), P("data")),
+                      out_specs=P("data"), check_vma=False))
+    q = unshard_node_array(pin, np.asarray(qfn(variables, batch)))
+    np.testing.assert_allclose(q, q_ref, atol=5e-6)
+    assert abs(q.sum()) < 1e-5  # total-charge constraint across shards
+
+
+def test_partitioned_hdnnp4th_energy_train_grads_match_oracle(mesh):
+    """One energy-loss train-step gradient for partitioned HDNNP4th (ONE
+    backward through the distributed CG) == the dense-Qeq oracle.
+
+    KNOWN LIMIT (documented in parallel/partitioned.py): force-loss
+    training partitioned (grad-of-grad THROUGH the distributed CG) is not
+    yet adjoint-consistent for the chi path — use DP over molecules for
+    HDNNP4th force training; partitioned force INFERENCE is exact (test
+    above)."""
+    g, z, pos, send, recv, angles, esp, rs = _hdnnp_system()
+    n = len(z)
+    e_target = -2.0
+    model_o = _hdnnp_model("dense")
+    model_p = _hdnnp_model("auto")
+
+    from gcnn_keras_tpu.batch import batch_graphs
+    ob = batch_graphs([dict(g, esp=esp,
+                            total_charge=np.zeros(1, np.float32))],
+                      global_keys=("total_charge",))
+    variables = model_o.init(jax.random.PRNGKey(0), ob)
+
+    def oracle_loss(v):
+        out = model_o.apply(v, ob)
+        return (out["output"][0, 0] - e_target) ** 2
+
+    g_oracle = jax.grad(oracle_loss)(variables)
+
+    pin = prepare_partitioned(z, pos, send, recv, mesh.shape["data"],
+                              angles=angles)
+    batch = build_partitioned_batch(
+        pin, node_props={"esp": esp},
+        global_props={"total_charge": np.zeros(1, np.float32)})
+    sh = NamedSharding(mesh, P("data"))
+    batch = jax.tree.map(lambda a: jax.device_put(jnp.asarray(a), sh), batch)
+    f_zero = jax.device_put(
+        jnp.asarray(shard_node_array(pin, np.zeros((n, 3), np.float32))), sh)
+    tx = optax.sgd(1.0)
+    step = make_partitioned_train_step(model_p, mesh, tx, w_energy=1.0,
+                                       w_force=0.0)
+    vp, _, metrics = step(variables, tx.init(variables), batch, e_target,
+                          f_zero)
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(oracle_loss(variables)), rtol=1e-4)
+    g_part = jax.tree.map(lambda a, b: a - b, variables, vp)
+    for (path, a), (_, b) in zip(jax.tree.leaves_with_path(g_oracle),
+                                 jax.tree.leaves_with_path(g_part)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(float(np.max(np.abs(a))), 1e-8)
+        assert np.max(np.abs(a - b)) / scale < 1e-4, path

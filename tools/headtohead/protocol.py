@@ -40,6 +40,18 @@ MD_MODELS = ("schnet", "painn", "hdnnp2nd", "hdnnp4th")
 # GCN / citation protocol (mirrors /root/reference/training/train_citation.py)
 GCN_EPOCHS = 200
 GCN_LR = 1e-3
+# r3: >=5 seeds for the GCN row (VERDICT r2 item 9)
+GCN_SEEDS = tuple(range(8))
+
+# charge-only protocol (mirrors /root/reference/charge_hdnnp4th.py:205:
+# HDNNP4th output_embedding="charge", MSE loss on ragged charges, Adam +
+# the same linear LR schedule)
+CHARGE_EPOCHS = EPOCHS
+
+# crystal protocol: periodic Schnet (make_crystal_model) on precomputed
+# periodic graphs (data/crystal.npz), MSE graph-label loss, same schedule
+CRYSTAL_EPOCHS = EPOCHS
+CRYSTAL_BATCH = 16
 
 
 def linear_lr(epoch: int, epochs: int = EPOCHS,
@@ -59,6 +71,19 @@ def load_md(path):
             "esp", "esp_grad", "total_charge", "energy")
     for i in range(n):
         frames.append({s: d[f"f{i}_{s}"] for s in keys})
+        if f"f{i}_charge" in d:
+            frames[-1]["charge"] = d[f"f{i}_charge"]
     splits = {s: (d[f"split{s}_train"], d[f"split{s}_val"])
               for s in SEEDS}
     return frames, splits
+
+
+def load_crystal(path):
+    import numpy as np
+    d = np.load(path)
+    n = int(d["n_cells"])
+    keys = ("z", "xyz", "lattice", "edge_indices", "edge_image", "label")
+    cells = [{s: d[f"c{i}_{s}"] for s in keys} for i in range(n)]
+    splits = {s: (d[f"split{s}_train"], d[f"split{s}_val"])
+              for s in SEEDS}
+    return cells, splits

@@ -27,8 +27,10 @@ import optax
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 sys.path.insert(0, os.path.dirname(__file__))
 
-from protocol import (BATCH_SIZE, EPOCHS, FORCE_LOSS_FACTOR, GCN_EPOCHS,
-                      GCN_LR, HDNNP_KW, MLP_KW, linear_lr, load_md)
+from protocol import (BATCH_SIZE, CHARGE_EPOCHS, CRYSTAL_BATCH,
+                      CRYSTAL_EPOCHS, EPOCHS, FORCE_LOSS_FACTOR, GCN_EPOCHS,
+                      GCN_LR, HDNNP_KW, LR_START, LR_STOP, MLP_KW, linear_lr,
+                      load_crystal, load_md)
 
 from gcnn_keras_tpu.batch import batch_graphs
 from gcnn_keras_tpu.model.force import EnergyForceModel
@@ -160,6 +162,146 @@ def run_md(model_name, seed):
             "train_seconds": train_time, "epochs": EPOCHS}
 
 
+def _epoch_linear_lr(steps_per_epoch, total_epochs):
+    def lr_schedule(count):
+        epoch = count // steps_per_epoch
+        return jnp.maximum(
+            LR_START - (LR_START - LR_STOP) / total_epochs * epoch, 1e-8)
+    return lr_schedule
+
+
+def run_charge(seed):
+    """Charge-only HDNNP4th (mirrors /root/reference/charge_hdnnp4th.py)."""
+    from gcnn_keras_tpu.models.hdnnp4th import make_model_behler
+
+    frames, splits = load_md(os.path.join(HERE, "data", "md.npz"))
+    tr_idx, va_idx = splits[seed]
+
+    def to_graph(f):
+        g = frame_to_graph(f, "hdnnp4th")
+        g["charge"] = f["charge"].astype(np.float32)
+        return g
+
+    train = [to_graph(frames[i]) for i in tr_idx]
+    val = [to_graph(frames[i]) for i in va_idx]
+    gk = ("total_charge",)
+    bshape = pad_shape(train + val, BATCH_SIZE, "hdnnp4th")
+    vshape = pad_shape(train + val, len(val), "hdnnp4th")
+    val_batch = batch_graphs(val, global_keys=gk, **vshape)
+
+    model = make_model_behler(
+        mlp_charge_kwargs=dict(MLP_KW), mlp_local_kwargs=dict(MLP_KW),
+        output_embedding="charge", **HDNNP_KW)
+    first = batch_graphs(train[:BATCH_SIZE], global_keys=gk, **bshape)
+    params = model.init(jax.random.PRNGKey(seed), first)
+
+    steps_per_epoch = (len(train) + BATCH_SIZE - 1) // BATCH_SIZE
+    optimizer = optax.adam(_epoch_linear_lr(steps_per_epoch, CHARGE_EPOCHS),
+                           eps=1e-7)
+    opt_state = optimizer.init(params)
+
+    def loss_fn(p, b):
+        q = model.apply(p, b)["output"].reshape(-1)
+        nmask = b.node_mask.astype(jnp.float32)
+        err = (q - b.nodes["charge"].reshape(-1)) ** 2
+        return jnp.sum(err * nmask) / jnp.maximum(jnp.sum(nmask), 1.0)
+
+    @jax.jit
+    def step(p, s, b):
+        l, g = jax.value_and_grad(loss_fn)(p, b)
+        up, s = optimizer.update(g, s, p)
+        return optax.apply_updates(p, up), s, l
+
+    rs = np.random.RandomState(seed + 777)
+    t0 = time.time()
+    for epoch in range(CHARGE_EPOCHS):
+        order = rs.permutation(len(train))
+        for k in range(steps_per_epoch):
+            sel = [train[i]
+                   for i in order[k * BATCH_SIZE:(k + 1) * BATCH_SIZE]]
+            b = batch_graphs(sel, global_keys=gk, **bshape)
+            params, opt_state, _ = step(params, opt_state, b)
+    train_time = time.time() - t0
+
+    q = np.asarray(model.apply(params, val_batch)["output"]).reshape(-1)
+    nm = np.asarray(val_batch.node_mask).astype(bool)
+    q_true = np.asarray(val_batch.nodes["charge"]).reshape(-1)
+    q_mae = float(np.mean(np.abs(q[nm] - q_true[nm])))
+    return {"framework": "ours", "model": "charge", "seed": seed,
+            "val_charge_mae": q_mae, "train_seconds": train_time,
+            "epochs": CHARGE_EPOCHS}
+
+
+def run_crystal(seed):
+    """Periodic Schnet on the precomputed crystal graphs."""
+    from gcnn_keras_tpu.models.schnet import make_crystal_model
+    from gcnn_keras_tpu.training.losses import masked_graph_mae
+
+    cells, splits = load_crystal(os.path.join(HERE, "data", "crystal.npz"))
+    tr_idx, va_idx = splits[seed]
+
+    def to_graph(c):
+        return {"node_number": c["z"].astype(np.int64),
+                "node_coordinates": c["xyz"].astype(np.float32),
+                "edge_indices": c["edge_indices"].astype(np.int64),
+                "range_image": c["edge_image"].astype(np.float32),
+                "graph_lattice": c["lattice"].astype(np.float32),
+                "label": c["label"].astype(np.float32)}
+
+    train = [to_graph(cells[i]) for i in tr_idx]
+    val = [to_graph(cells[i]) for i in va_idx]
+    gk = ("label", "graph_lattice")
+    n_max = max(len(g["node_number"]) for g in train + val)
+    e_max = max(len(g["edge_indices"]) for g in train + val)
+    bshape = dict(n_node_pad=CRYSTAL_BATCH * n_max + 1,
+                  n_edge_pad=CRYSTAL_BATCH * e_max + 1,
+                  n_graph_pad=CRYSTAL_BATCH + 1)
+    vshape = dict(n_node_pad=len(val) * n_max + 1,
+                  n_edge_pad=len(val) * e_max + 1,
+                  n_graph_pad=len(val) + 1)
+    val_batch = batch_graphs(val, global_keys=gk, **vshape)
+
+    model = make_crystal_model(depth=2)
+    first = batch_graphs(train[:CRYSTAL_BATCH], global_keys=gk, **bshape)
+    params = model.init(jax.random.PRNGKey(seed), first)
+
+    steps_per_epoch = (len(train) + CRYSTAL_BATCH - 1) // CRYSTAL_BATCH
+    optimizer = optax.adam(_epoch_linear_lr(steps_per_epoch, CRYSTAL_EPOCHS),
+                           eps=1e-7)
+    opt_state = optimizer.init(params)
+
+    def loss_fn(p, b):
+        out = model.apply(p, b)["output"].reshape(-1)
+        gm = b.globals["graph_mask"].astype(jnp.float32)
+        err = (out - b.globals["label"].reshape(-1)) ** 2
+        return jnp.sum(err * gm) / jnp.maximum(jnp.sum(gm), 1.0)
+
+    @jax.jit
+    def step(p, s, b):
+        l, g = jax.value_and_grad(loss_fn)(p, b)
+        up, s = optimizer.update(g, s, p)
+        return optax.apply_updates(p, up), s, l
+
+    rs = np.random.RandomState(seed + 777)
+    t0 = time.time()
+    for epoch in range(CRYSTAL_EPOCHS):
+        order = rs.permutation(len(train))
+        for k in range(steps_per_epoch):
+            sel = [train[i]
+                   for i in order[k * CRYSTAL_BATCH:(k + 1) * CRYSTAL_BATCH]]
+            b = batch_graphs(sel, global_keys=gk, **bshape)
+            params, opt_state, _ = step(params, opt_state, b)
+    train_time = time.time() - t0
+
+    out = np.asarray(model.apply(params, val_batch)["output"]).reshape(-1)
+    gm = np.asarray(val_batch.globals["graph_mask"]).astype(bool)
+    y = np.asarray(val_batch.globals["label"]).reshape(-1)
+    mae = float(np.mean(np.abs(out[gm] - y[gm])))
+    return {"framework": "ours", "model": "crystal_schnet", "seed": seed,
+            "val_mae": mae, "train_seconds": train_time,
+            "epochs": CRYSTAL_EPOCHS}
+
+
 def run_gcn(seed):
     from gcnn_keras_tpu.models.gcn import make_model
 
@@ -220,7 +362,8 @@ def run_gcn(seed):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", required=True,
-                    choices=["schnet", "painn", "hdnnp2nd", "hdnnp4th", "gcn"])
+                    choices=["schnet", "painn", "hdnnp2nd", "hdnnp4th",
+                             "gcn", "charge", "crystal_schnet"])
     ap.add_argument("--seed", type=int, required=True)
     ap.add_argument("--epochs", type=int, default=None)
     args = ap.parse_args()
@@ -228,10 +371,16 @@ if __name__ == "__main__":
         import protocol
         protocol.EPOCHS = EPOCHS = args.epochs
         protocol.GCN_EPOCHS = GCN_EPOCHS = args.epochs
+        protocol.CHARGE_EPOCHS = CHARGE_EPOCHS = args.epochs
+        protocol.CRYSTAL_EPOCHS = CRYSTAL_EPOCHS = args.epochs
 
     os.makedirs(RESULTS, exist_ok=True)
-    res = run_gcn(args.seed) if args.model == "gcn" else run_md(args.model,
-                                                                args.seed)
+    runners = {"gcn": run_gcn, "charge": run_charge,
+               "crystal_schnet": run_crystal}
+    if args.model in runners:
+        res = runners[args.model](args.seed)
+    else:
+        res = run_md(args.model, args.seed)
     out = os.path.join(RESULTS, f"ours_{args.model}_s{args.seed}.json")
     with open(out, "w") as f:
         json.dump(res, f, indent=1)

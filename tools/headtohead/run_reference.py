@@ -24,8 +24,10 @@ import numpy as np
 sys.path.insert(0, "/root/reference")
 sys.path.insert(0, os.path.dirname(__file__))
 
-from protocol import (BATCH_SIZE, EPOCHS, FORCE_LOSS_FACTOR, GCN_EPOCHS,
-                      GCN_LR, HDNNP_KW, LR_START, LR_STOP, MLP_KW, load_md)
+from protocol import (BATCH_SIZE, CHARGE_EPOCHS, CRYSTAL_BATCH,
+                      CRYSTAL_EPOCHS, EPOCHS, FORCE_LOSS_FACTOR, GCN_EPOCHS,
+                      GCN_LR, HDNNP_KW, LR_START, LR_STOP, MLP_KW,
+                      load_crystal, load_md)
 
 HERE = os.path.dirname(__file__)
 RESULTS = os.path.join(HERE, "results")
@@ -157,6 +159,115 @@ def run_md(model_name, seed):
             "train_seconds": train_time, "epochs": EPOCHS}
 
 
+def run_charge(seed):
+    """Charge-only HDNNP4th (mirrors /root/reference/charge_hdnnp4th.py:
+    output_embedding='charge', MSE on ragged charges, Adam + linear LR)."""
+    import tensorflow as tf
+    from kgcnn.literature.HDNNP4th import make_model_behler
+    from kgcnn.training.scheduler import LinearLearningRateScheduler
+
+    tf.keras.utils.set_random_seed(seed)
+    frames, splits = load_md(os.path.join(HERE, "data", "md.npz"))
+    tr_idx, va_idx = splits[seed]
+    x_train, _, _ = md_tensors(frames, tr_idx, "hdnnp4th")
+    x_val, _, _ = md_tensors(frames, va_idx, "hdnnp4th")
+    # every frame has 9 atoms -> dense (B, 9, 1) charge targets, plain MSE
+    # exactly like the fork's charge script (charge_hdnnp4th.py:205)
+    q_train = tf.constant(np.stack(
+        [frames[i]["charge"].reshape(-1, 1) for i in tr_idx]))
+    q_val = np.concatenate([frames[i]["charge"] for i in va_idx])
+
+    model = make_model_behler(
+        inputs=[
+            {"shape": (None,), "name": "node_number", "dtype": "int64",
+             "ragged": True},
+            {"shape": (None, 3), "name": "node_coordinates",
+             "dtype": "float32", "ragged": True},
+            {"shape": (None, 2), "name": "range_indices",
+             "dtype": "int64", "ragged": True},
+            {"shape": (None, 3), "name": "angle_indices_nodes",
+             "dtype": "int64", "ragged": True},
+            {"shape": (1,), "name": "total_charge", "dtype": "float32",
+             "ragged": False},
+            {"shape": (None,), "name": "esp", "dtype": "float32",
+             "ragged": True},
+            {"shape": (None, 3), "name": "esp_grad", "dtype": "float32",
+             "ragged": True}],
+        mlp_charge_kwargs=dict(MLP_KW), mlp_local_kwargs=dict(MLP_KW),
+        output_embedding="charge", **HDNNP_KW)
+    model.compile(optimizer=tf.keras.optimizers.Adam(LR_START),
+                  loss="mean_squared_error")
+    sched = LinearLearningRateScheduler(
+        learning_rate_start=LR_START, learning_rate_stop=LR_STOP,
+        epo_min=0, epo=CHARGE_EPOCHS, verbose=0)
+    t0 = time.time()
+    model.fit(x_train, q_train, batch_size=BATCH_SIZE, epochs=CHARGE_EPOCHS,
+              shuffle=True, verbose=0, callbacks=[sched])
+    train_time = time.time() - t0
+    pred = model.predict(x_val, batch_size=BATCH_SIZE, verbose=0)
+    q_pred = np.asarray(pred).reshape(len(va_idx), -1)[:, :9].reshape(-1)
+    q_mae = float(np.mean(np.abs(q_pred - q_val)))
+    return {"framework": "reference", "model": "charge", "seed": seed,
+            "val_charge_mae": q_mae, "train_seconds": train_time,
+            "epochs": CHARGE_EPOCHS}
+
+
+def run_crystal(seed):
+    """Periodic Schnet (make_crystal_model) on precomputed periodic graphs."""
+    import tensorflow as tf
+    from kgcnn.literature.Schnet import make_crystal_model
+    from kgcnn.training.scheduler import LinearLearningRateScheduler
+
+    tf.keras.utils.set_random_seed(seed)
+    cells, splits = load_crystal(os.path.join(HERE, "data", "crystal.npz"))
+    tr_idx, va_idx = splits[seed]
+
+    def tensors(idx):
+        sel = [cells[i] for i in idx]
+        z = _rag([c["z"].astype(np.float32) for c in sel])
+        xyz = _rag([c["xyz"] for c in sel], inner=(3,))
+        ei = _rag([c["edge_indices"] for c in sel], inner=(2,),
+                  dtype="int64")
+        img = _rag([c["edge_image"].astype(np.float32) for c in sel],
+                   inner=(3,))
+        lat = tf.constant(np.stack([c["lattice"] for c in sel]))
+        y = tf.constant(np.stack([c["label"] for c in sel]))
+        return [z, xyz, ei, img, lat], y
+
+    x_train, y_train = tensors(tr_idx)
+    x_val, y_val = tensors(va_idx)
+    # the reference's make_crystal_model defaults to the NON-crystal inputs
+    # list (Schnet.py:174 decorates with model_default), so the 5-element
+    # crystal input spec must be passed explicitly
+    model = make_crystal_model(depth=2, inputs=[
+        {"shape": (None,), "name": "node_attributes", "dtype": "float32",
+         "ragged": True},
+        {"shape": (None, 3), "name": "node_coordinates", "dtype": "float32",
+         "ragged": True},
+        {"shape": (None, 2), "name": "edge_indices", "dtype": "int64",
+         "ragged": True},
+        {"shape": (None, 3), "name": "edge_image", "dtype": "float32",
+         "ragged": True},
+        {"shape": (3, 3), "name": "graph_lattice", "dtype": "float32",
+         "ragged": False}])
+    model.compile(optimizer=tf.keras.optimizers.Adam(LR_START),
+                  loss="mean_squared_error")
+    sched = LinearLearningRateScheduler(
+        learning_rate_start=LR_START, learning_rate_stop=LR_STOP,
+        epo_min=0, epo=CRYSTAL_EPOCHS, verbose=0)
+    t0 = time.time()
+    model.fit(x_train, y_train, batch_size=CRYSTAL_BATCH,
+              epochs=CRYSTAL_EPOCHS, shuffle=True, verbose=0,
+              callbacks=[sched])
+    train_time = time.time() - t0
+    pred = model.predict(x_val, batch_size=CRYSTAL_BATCH, verbose=0)
+    mae = float(np.mean(np.abs(np.asarray(pred).reshape(-1)
+                               - np.asarray(y_val).reshape(-1))))
+    return {"framework": "reference", "model": "crystal_schnet",
+            "seed": seed, "val_mae": mae, "train_seconds": train_time,
+            "epochs": CRYSTAL_EPOCHS}
+
+
 def run_gcn(seed):
     import tensorflow as tf
     tf.keras.utils.set_random_seed(seed)
@@ -203,7 +314,8 @@ def run_gcn(seed):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", required=True,
-                    choices=["schnet", "painn", "hdnnp2nd", "hdnnp4th", "gcn"])
+                    choices=["schnet", "painn", "hdnnp2nd", "hdnnp4th",
+                             "gcn", "charge", "crystal_schnet"])
     ap.add_argument("--seed", type=int, required=True)
     ap.add_argument("--epochs", type=int, default=None,
                     help="override epoch count (timing smoke only)")
@@ -212,13 +324,19 @@ if __name__ == "__main__":
         import protocol
         protocol.EPOCHS = EPOCHS = args.epochs
         protocol.GCN_EPOCHS = GCN_EPOCHS = args.epochs
+        protocol.CHARGE_EPOCHS = CHARGE_EPOCHS = args.epochs
+        protocol.CRYSTAL_EPOCHS = CRYSTAL_EPOCHS = args.epochs
 
     import tensorflow as tf
     tf.config.set_visible_devices([], "GPU")
 
     os.makedirs(RESULTS, exist_ok=True)
-    res = run_gcn(args.seed) if args.model == "gcn" else run_md(args.model,
-                                                                args.seed)
+    runners = {"gcn": run_gcn, "charge": run_charge,
+               "crystal_schnet": run_crystal}
+    if args.model in runners:
+        res = runners[args.model](args.seed)
+    else:
+        res = run_md(args.model, args.seed)
     out = os.path.join(RESULTS, f"ref_{args.model}_s{args.seed}.json")
     with open(out, "w") as f:
         json.dump(res, f, indent=1)

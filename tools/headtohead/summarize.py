@@ -34,7 +34,8 @@ def fmt(vals):
 
 def build_table():
     rows = collect()
-    models = ["schnet", "painn", "hdnnp2nd", "hdnnp4th", "gcn"]
+    models = ["schnet", "painn", "hdnnp2nd", "hdnnp4th", "charge",
+              "crystal_schnet", "gcn"]
     lines = [
         "## Head-to-head training parity vs the reference (identical protocol)",
         "",
@@ -57,9 +58,19 @@ def build_table():
             continue
         if m == "gcn":
             lines.append(
-                f"| GCN (citation) | val accuracy | "
+                f"| GCN (citation, {len(ref)} seeds) | val accuracy | "
                 f"{fmt([r['val_accuracy'] for r in ref])} | "
                 f"{fmt([r['val_accuracy'] for r in ours])} |")
+        elif m == "charge":
+            lines.append(
+                f"| HDNNP4th (charge-only) | val charge MAE | "
+                f"{fmt([r['val_charge_mae'] for r in ref])} | "
+                f"{fmt([r['val_charge_mae'] for r in ours])} |")
+        elif m == "crystal_schnet":
+            lines.append(
+                f"| SchNet (crystal, periodic) | val MAE | "
+                f"{fmt([r['val_mae'] for r in ref])} | "
+                f"{fmt([r['val_mae'] for r in ours])} |")
         else:
             name = {"schnet": "SchNet", "painn": "PAiNN",
                     "hdnnp2nd": "HDNNP2nd", "hdnnp4th": "HDNNP4th"}[m]

@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--structures", type=int, default=64)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--folds", type=int, default=1,
+                    help="k-fold cross-validation like the reference's "
+                         "5-fold (1 = single 80/20 split)")
     args = ap.parse_args()
 
     import jax
@@ -69,15 +72,8 @@ def main():
 
     rs = np.random.RandomState(args.seed)
     idx = rs.permutation(len(ds))
-    n_test = max(len(ds) // 5, 1)
-    train, test = ds[idx[n_test:]], ds[idx[:n_test]]
-    hint = train.batch_shape_hint(args.batch_size)
-    loader = GraphBatchLoader(list(train), args.batch_size, shuffle=True,
-                              seed=args.seed, global_keys=("graph_labels",),
-                              **hint)
-    first = next(iter(loader))
-    params = model.init(jax.random.PRNGKey(args.seed), first, train=False)
-    opt_state = optimizer.init(params)
+    k = max(args.folds, 1)
+    fold_size = max(len(ds) // (5 if k == 1 else k), 1)
 
     def loss_fn(p, b):
         out = model.apply(p, b, train=False)["output"]
@@ -90,27 +86,43 @@ def main():
         up, s = optimizer.update(g, s, p)
         return optax.apply_updates(p, up), s, l
 
-    test_batch = test.to_batch(global_keys=("graph_labels",))
-    hist = {"loss": [], "val_mae": []}
-    t0 = time.perf_counter()
-    for epoch in range(args.epochs):
-        losses = []
-        for b in loader:
-            params, opt_state, l = step(params, opt_state, b)
-            losses.append(float(l))
-        out = model.apply(params, test_batch, train=False)["output"]
-        vm = float(masked_graph_mae(out, test_batch.globals["graph_labels"],
-                                    test_batch.globals["graph_mask"]))
-        hist["loss"].append(float(np.mean(losses)))
-        hist["val_mae"].append(vm)
-        if epoch % 10 == 0 or epoch == args.epochs - 1:
-            print(f"epoch {epoch}: loss={hist['loss'][-1]:.4f} val_mae={vm:.4f}")
-    elapsed = time.perf_counter() - t0
+    hists, times = [], []
+    for fold in range(k):
+        test_idx = idx[fold * fold_size:(fold + 1) * fold_size]
+        train_idx = np.setdiff1d(idx, test_idx)
+        train, test = ds[train_idx], ds[test_idx]
+        hint = train.batch_shape_hint(args.batch_size)
+        loader = GraphBatchLoader(list(train), args.batch_size, shuffle=True,
+                                  seed=args.seed + fold,
+                                  global_keys=("graph_labels",), **hint)
+        first = next(iter(loader))
+        params = model.init(jax.random.PRNGKey(args.seed + fold), first,
+                            train=False)
+        opt_state = optimizer.init(params)
+        test_batch = test.to_batch(global_keys=("graph_labels",))
+        hist = {"loss": [], "val_mae": []}
+        t0 = time.perf_counter()
+        for epoch in range(args.epochs):
+            losses = []
+            for b in loader:
+                params, opt_state, l = step(params, opt_state, b)
+                losses.append(float(l))
+            out = model.apply(params, test_batch, train=False)["output"]
+            vm = float(masked_graph_mae(out,
+                                        test_batch.globals["graph_labels"],
+                                        test_batch.globals["graph_mask"]))
+            hist["loss"].append(float(np.mean(losses)))
+            hist["val_mae"].append(vm)
+            if epoch % 10 == 0 or epoch == args.epochs - 1:
+                print(f"fold {fold} epoch {epoch}: "
+                      f"loss={hist['loss'][-1]:.4f} val_mae={vm:.4f}")
+        times.append(time.perf_counter() - t0)
+        hists.append(hist)
 
-    score = save_history_score([hist], f"results/crystal/{args.model}_score.yaml",
+    score = save_history_score(hists, f"results/crystal/{args.model}_score.yaml",
                                model_name=args.model,
                                dataset_name="SyntheticCrystal",
-                               seed=args.seed, time_list=[elapsed])
+                               seed=args.seed, time_list=times)
     print(json.dumps({"val_mae_mean": score.get("val_mae_mean")}))
 
 

@@ -38,6 +38,8 @@ def main():
     ap.add_argument("--epochs", type=int, default=100)
     ap.add_argument("--graphs", type=int, default=64)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--folds", type=int, default=1,
+                    help="k-fold cross-validation (1 = single 80/20 split)")
     args = ap.parse_args()
 
     import jax
@@ -68,8 +70,8 @@ def main():
 
     rs = np.random.RandomState(args.seed)
     idx = rs.permutation(len(ds))
-    n_test = max(len(ds) // 5, 1)
-    test, train = ds[idx[:n_test]], ds[idx[n_test:]]
+    k = max(args.folds, 1)
+    fold_size = max(len(ds) // (5 if k == 1 else k), 1)
 
     def to_batch(part):
         graphs = []
@@ -78,10 +80,6 @@ def main():
             g.pop("node_importances_true", None)
             graphs.append(g)
         return batch_graphs(graphs, global_keys=("graph_labels",))
-
-    train_batch, test_batch = to_batch(train), to_batch(test)
-    params = model.init(jax.random.PRNGKey(args.seed), train_batch)
-    opt_state = optimizer.init(params)
 
     def loss_fn(p, b):
         out = model.apply(p, b)
@@ -94,38 +92,49 @@ def main():
         updates, s = optimizer.update(grads, s, p)
         return optax.apply_updates(p, updates), s, l
 
-    t0 = time.perf_counter()
-    hist = {"loss": []}
-    for epoch in range(epochs):
-        params, opt_state, loss = step(params, opt_state, train_batch)
-        if epoch % 10 == 9:
-            hist["loss"].append(float(loss))
+    hists, times = [], []
+    for fold in range(k):
+        test_idx = idx[fold * fold_size:(fold + 1) * fold_size]
+        train_idx = np.setdiff1d(idx, test_idx)
+        test, train = ds[test_idx], ds[train_idx]
+        train_batch, test_batch = to_batch(train), to_batch(test)
+        params = model.init(jax.random.PRNGKey(args.seed + fold), train_batch)
+        opt_state = optimizer.init(params)
 
-    out = model.apply(params, test_batch)
-    val_mae = float(masked_graph_mae(out["output"],
-                                     test_batch.globals["graph_labels"],
-                                     test_batch.globals["graph_mask"]))
-    hist["val_mae"] = [val_mae]
+        t0 = time.perf_counter()
+        hist = {"loss": []}
+        for epoch in range(epochs):
+            params, opt_state, loss = step(params, opt_state, train_batch)
+            if epoch % 10 == 9:
+                hist["loss"].append(float(loss))
 
-    # explanation quality: node-importance AUC vs ground truth
-    aucs = []
-    if "node_importances" in out and "node_importances_true" in test[0]:
-        imp = np.asarray(out["node_importances"]).max(axis=-1)
-        nm = np.asarray(test_batch.node_mask)
-        gid = np.asarray(test_batch.graph_id)
-        for i, g in enumerate(test):
-            sel = nm & (gid == i)
-            auc = importance_auc(imp[sel], np.asarray(
-                g["node_importances_true"]))
-            if np.isfinite(auc):
-                aucs.append(auc)
-    node_auc = float(np.mean(aucs)) if aucs else float("nan")
-    hist["val_node_auc"] = [node_auc]
+        out = model.apply(params, test_batch)
+        val_mae = float(masked_graph_mae(out["output"],
+                                         test_batch.globals["graph_labels"],
+                                         test_batch.globals["graph_mask"]))
+        hist["val_mae"] = [val_mae]
+
+        # explanation quality: node-importance AUC vs ground truth
+        aucs = []
+        if "node_importances" in out and "node_importances_true" in test[0]:
+            imp = np.asarray(out["node_importances"]).max(axis=-1)
+            nm = np.asarray(test_batch.node_mask)
+            gid = np.asarray(test_batch.graph_id)
+            for i, g in enumerate(test):
+                sel = nm & (gid == i)
+                auc = importance_auc(imp[sel], np.asarray(
+                    g["node_importances_true"]))
+                if np.isfinite(auc):
+                    aucs.append(auc)
+        node_auc = float(np.mean(aucs)) if aucs else float("nan")
+        hist["val_node_auc"] = [node_auc]
+        times.append(time.perf_counter() - t0)
+        hists.append(hist)
 
     save_history_score(
-        [hist], f"results/vgd/{args.model}_score.yaml",
+        hists, f"results/vgd/{args.model}_score.yaml",
         model_name=args.model, dataset_name=args.dataset, seed=args.seed,
-        time_list=[time.perf_counter() - t0])
+        time_list=times)
     print(json.dumps({"val_mae": val_mae, "val_node_auc": node_auc}))
 
 
