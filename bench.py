@@ -76,7 +76,9 @@ def _cost(jitted, *args):
         return 0.0, 0.0
 
 
-def bench_schnet(jax, jnp, optax):
+def bench_schnet_setup(jax, jnp, optax):
+    """Build the jitted SchNet E+F train step + its args (shared with
+    tools/profile_hbm_traffic.py so the profiled step IS the benched one)."""
     from gcnn_keras_tpu.batch import batch_graphs
     from gcnn_keras_tpu.models.schnet import make_model
     from gcnn_keras_tpu.model.force import EnergyForceModel
@@ -106,8 +108,13 @@ def bench_schnet(jax, jnp, optax):
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    dt, _ = _timeit(step, (params, opt_state, batch), iters=50)
-    flops, bytes_acc = _cost(step, params, opt_state, batch)
+    return step, (params, opt_state, batch), n_real_edges
+
+
+def bench_schnet(jax, jnp, optax):
+    step, args, n_real_edges = bench_schnet_setup(jax, jnp, optax)
+    dt, _ = _timeit(step, args, iters=50)
+    flops, bytes_acc = _cost(step, *args)
     return {
         "edges_per_sec": n_real_edges / dt,
         "ms_per_step": dt * 1e3,

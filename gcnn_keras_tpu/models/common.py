@@ -25,7 +25,15 @@ class OptionalInputEmbedding(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         if jnp.issubdtype(x.dtype, jnp.integer) and x.ndim == 1:
-            return nn.Embed(self.input_dim, self.output_dim)(x)
+            # keras Embedding default init is uniform(-0.05, 0.05)
+            # (tf_keras embeddings_initializer='uniform'); flax's default
+            # normal(stddev=1) puts ~20x more variance into the first
+            # layer and measurably drags early training (same drift class
+            # as the r2 lecun->glorot Dense fix, commit 72ca83a)
+            return nn.Embed(
+                self.input_dim, self.output_dim,
+                embedding_init=lambda key, shape, dtype=jnp.float32:
+                    jax.random.uniform(key, shape, dtype, -0.05, 0.05))(x)
         return x
 
 

@@ -232,9 +232,13 @@ class DimeNetPP(nn.Module):
                                   name="sbf")(d_kj, cos_alpha)
         sbf = sbf * batch.angle_edge_mask[:, None].astype(sbf.dtype)
 
-        # embedding block (dimenet_conv.py:328)
+        # embedding block (dimenet_conv.py:328; keras default init
+        # 'uniform' = U(-0.05, 0.05), dimenet_conv.py:343)
         emb = nn.Embed(cfg["input_embedding"]["node"]["input_dim"],
-                       cfg["emb_size"], name="embed_z")
+                       cfg["emb_size"],
+                       embedding_init=lambda key, shape, dtype=jnp.float32:
+                           jax.random.uniform(key, shape, dtype, -0.05, 0.05),
+                       name="embed_z")
         hz = emb(z)
         h_i = jnp.take(hz, batch.receivers, axis=0)
         h_j = jnp.take(hz, batch.senders, axis=0)

@@ -6,6 +6,20 @@ import os
 from typing import List, Optional
 
 
+def honor_platform_env():
+    """Make ``JAX_PLATFORMS=cpu python training/train_*.py`` actually work.
+
+    Environments whose sitecustomize imports jax at interpreter start (the
+    tunneled-TPU image here) consume platform selection before user code
+    runs, so the env var alone is silently ignored and CLI runs land on
+    the TPU. Called at the top of every training driver / root script:
+    re-applies the env var via ``jax.config`` (authoritative after
+    import, backend initializes lazily)."""
+    import jax
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+
 def set_devices(platform: Optional[str] = None,
                 visible_devices: Optional[List[int]] = None):
     """Select jax platform ('tpu'/'cpu') and optionally restrict visible

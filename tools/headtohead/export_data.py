@@ -138,7 +138,7 @@ def export_crystal():
         payload[f"c{i}_label"] = np.array([y - mean], dtype=np.float32)
     payload["n_cells"] = np.array(n_cells)
     payload["label_mean"] = np.array(mean)
-    for s in SEEDS:
+    for s in range(5):  # 5 crystal splits; 0-2 unchanged (same RandomState)
         idx = np.random.RandomState(3000 + s).permutation(n_cells)
         payload[f"split{s}_val"] = idx[:10].astype(np.int64)
         payload[f"split{s}_train"] = idx[10:].astype(np.int64)

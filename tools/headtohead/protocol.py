@@ -84,6 +84,9 @@ def load_crystal(path):
     n = int(d["n_cells"])
     keys = ("z", "xyz", "lattice", "edge_indices", "edge_image", "label")
     cells = [{s: d[f"c{i}_{s}"] for s in keys} for i in range(n)]
-    splits = {s: (d[f"split{s}_train"], d[f"split{s}_val"])
-              for s in SEEDS}
+    splits = {}
+    s = 0
+    while f"split{s}_train" in d:
+        splits[s] = (d[f"split{s}_train"], d[f"split{s}_val"])
+        s += 1
     return cells, splits

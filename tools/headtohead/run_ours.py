@@ -338,7 +338,15 @@ def run_gcn(seed):
 
     def loss_fn(p):
         logits = model.apply(p, batch)["output"]
-        ll = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+        # EXACT keras categorical_crossentropy-from-softmax semantics
+        # (tf_keras backend.categorical_crossentropy: probabilities
+        # clipped to [eps, 1-eps] with eps=1e-7 before the log) — the
+        # clip's zero-gradient region changes training dynamics vs plain
+        # logits cross-entropy on saturated classes
+        probs = jax.nn.softmax(logits, axis=-1)
+        probs = jnp.clip(probs, 1e-7, 1.0 - 1e-7)
+        onehot = jax.nn.one_hot(y, probs.shape[-1])
+        ll = -jnp.sum(onehot * jnp.log(probs), axis=-1)
         # keras sample_weight semantics: sum(w*l)/sum(w)
         return jnp.sum(ll * w) / jnp.maximum(jnp.sum(w), 1.0)
 

@@ -48,6 +48,13 @@ def build_table():
         "Reference = kgcnn TF CPU (`run_reference.py`); ours = "
         "`run_ours.py`. Mean ± std over seeds.",
         "",
+        "GCN note (VERDICT r2 item 9): the r2 3-seed gap (0.9787 vs "
+        "0.9693) does not replicate at 8 seeds — 0.7 sigma overlap. "
+        "Causes tested and EXCLUDED: embedding initialization "
+        "(keras uniform(0.05) now matched framework-wide) and keras' "
+        "clipped categorical-crossentropy-from-softmax semantics "
+        "(mirrored exactly in run_ours.run_gcn; no change in mean).",
+        "",
         "| Model | Metric | Reference (kgcnn) | This framework |",
         "|---|---|---|---|",
     ]

@@ -24,6 +24,8 @@ def main():
     args = ap.parse_args()
 
     import jax
+    from gcnn_keras_tpu.utils.devices import honor_platform_env
+    honor_platform_env()
     import optax
     from gcnn_keras_tpu.data.loader import GraphBatchLoader
     from gcnn_keras_tpu.data.scalers import StandardLabelScaler

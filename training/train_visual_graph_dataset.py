@@ -43,6 +43,8 @@ def main():
     args = ap.parse_args()
 
     import jax
+    from gcnn_keras_tpu.utils.devices import honor_platform_env
+    honor_platform_env()
     import optax
     from gcnn_keras_tpu.batch import batch_graphs
     from gcnn_keras_tpu.training.losses import masked_graph_mae
