@@ -115,16 +115,107 @@ def bench_schnet(jax, jnp, optax):
     step, args, n_real_edges = bench_schnet_setup(jax, jnp, optax)
     dt, _ = _timeit(step, args, iters=50)
     flops, bytes_acc = _cost(step, *args)
+
+    # Ground truth: K steps inside ONE jitted lax.scan — one dispatch, K
+    # sequential device executions; immune to tunnel/host dispatch artifacts
+    # in either direction (tools/scan_timing.py; r3 measured loop 10.96 ms
+    # vs scan 10.32 ms, i.e. the dispatch loop is honest to ~6% at this
+    # batch size). Params evolve through the optimizer each iteration, so
+    # XLA cannot fold the loop.
+    params, opt_state, batch = args
+    k = 20
+
+    @jax.jit
+    def multi(params, opt_state, b):
+        def body(carry, _):
+            p, s = carry
+            p, s, loss = step.__wrapped__(p, s, b)
+            return (p, s), loss
+
+        (p, s), losses = jax.lax.scan(body, (params, opt_state), None,
+                                      length=k)
+        return p, s, losses[-1]
+
+    dt_scan, _ = _timeit(multi, (params, opt_state, batch), iters=3)
+    dt_scan /= k
+
     return {
         "edges_per_sec": n_real_edges / dt,
         "ms_per_step": dt * 1e3,
+        "ms_per_step_scan": dt_scan * 1e3,
+        "edges_per_sec_scan": n_real_edges / dt_scan,
         "flops_per_step": flops,
         "bytes_per_step": bytes_acc,
         "achieved_gbps": bytes_acc / dt / 1e9,
         "achieved_tflops": flops / dt / 1e12,
         "hbm_frac": bytes_acc / dt / 1e9 / HBM_PEAK_GBPS,
-        "mfu_f32": flops / dt / 1e12 / F32_PEAK_TFLOPS,
+        # MFU from the scan ground-truth time (physical device seconds)
+        "mfu_f32": flops / dt_scan / 1e12 / F32_PEAK_TFLOPS,
     }
+
+
+def bench_md_latency(jax, jnp):
+    """On-device MD step latency: K velocity-Verlet steps of a 21-atom
+    molecule inside ONE jitted lax.scan (the moldyn/integrate.py deployment
+    path), reported as the slope between two scan lengths so fixed
+    dispatch/transfer costs cancel. This is the latency observable MD
+    serving actually sees (the reference's ASE python-loop integrator pays
+    a host round trip EVERY step instead, kgcnn/moldyn/ase_calc.py:75)."""
+    import time
+    from functools import partial
+
+    from gcnn_keras_tpu.batch import batch_graphs
+    from gcnn_keras_tpu.graph.preprocess import set_range
+    from gcnn_keras_tpu.models.schnet import make_model
+    from gcnn_keras_tpu.moldyn.integrate import make_energy_force_fn
+
+    rs = np.random.RandomState(7)
+    n = 21
+    t = np.arange(n) * 1.2
+    pos = np.stack([t, 1.5 * np.sin(t * 0.9), 1.5 * np.cos(t * 0.7)], axis=1)
+    g = {"node_number": rs.choice([1, 6, 7, 8], size=n),
+         "node_coordinates": (pos + rs.randn(n, 3) * 0.1).astype(np.float32),
+         "energy": np.array([0.0], dtype=np.float32)}
+    g = set_range(g, max_distance=4.0, max_neighbours=25)
+    g["edge_indices"] = g.pop("range_indices")
+    batch = batch_graphs([g], global_keys=("energy",))
+
+    model = make_model()
+    params = model.init(jax.random.PRNGKey(0), batch)
+    fn = make_energy_force_fn(model, params, batch)
+    mask = batch.node_mask[:, None].astype(jnp.float32)
+    m = jnp.full((batch.n_node, 1), 12.0, jnp.float32)
+    DT = 5e-4
+
+    def body(carry, _):
+        pos, vel, force = carry
+        vel_h = vel + 0.5 * DT * force / m
+        pos_n = pos + DT * vel_h * mask
+        e, f_n = fn(pos_n)
+        f_n = f_n * mask
+        return (pos_n, vel_h + 0.5 * DT * f_n / m, f_n), e
+
+    @partial(jax.jit, static_argnums=2)
+    def run(pos, vel, k):
+        _, f0 = fn(pos)
+        (p, v, _), es = jax.lax.scan(body, (pos, vel, f0 * mask), None,
+                                     length=k)
+        return p, v, es[-1]
+
+    pos0 = batch.nodes["node_coordinates"]
+    vel0 = jnp.zeros_like(pos0)
+
+    def wall(k, reps=3):
+        out = run(pos0, vel0, k)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = run(pos0, vel0, k)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / reps
+
+    t1, t2 = wall(50), wall(400)
+    return {"atoms": n, "us_per_md_step": (t2 - t1) / 350 * 1e6}
 
 
 def bench_hdnnp4th(jax, jnp, optax):
@@ -279,6 +370,7 @@ def main():
     schnet = bench_schnet(jax, jnp, optax)
     hdnnp = bench_hdnnp4th(jax, jnp, optax)
     hdnnp_large = bench_hdnnp4th_large_mol(jax, jnp, optax)
+    md = bench_md_latency(jax, jnp)
 
     record = {
         "metric": "schnet_energy_force_train_edges_per_sec_per_chip",
@@ -286,6 +378,9 @@ def main():
         "unit": "edges/s",
         "vs_baseline": round(schnet["edges_per_sec"] / BENCH_BASE, 4),
         "ms_per_step": round(schnet["ms_per_step"], 3),
+        # scan ground truth: K steps in ONE jitted lax.scan (no dispatch)
+        "ms_per_step_scan": round(schnet["ms_per_step_scan"], 3),
+        "edges_per_sec_scan": round(schnet["edges_per_sec_scan"], 1),
         # bytes/GB/s are XLA cost-analysis UPPER BOUNDS: pallas kernels get
         # their full HBM operands re-counted per grid step, so hbm_frac can
         # exceed 1.0; treat as relative regression signal, not absolute
@@ -306,6 +401,11 @@ def main():
             "angles_per_sec": round(hdnnp_large["angles_per_sec"], 1),
             "ms_per_step": round(hdnnp_large["ms_per_step"], 3),
             "qeq": hdnnp_large["qeq"],
+        },
+        # scanned-integrator MD latency (moldyn/integrate.py deployment
+        # path, slope method — fixed dispatch cost cancelled)
+        "md_schnet_21atom": {
+            "us_per_md_step": round(md["us_per_md_step"], 1),
         },
     }
     print(json.dumps(record))

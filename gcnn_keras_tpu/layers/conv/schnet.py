@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import flax.linen as nn
 
 from ...batch import GraphBatch
@@ -41,6 +42,64 @@ class SchNetCFconv(nn.Module):
                   dtype=self.dtype, name="filter_2")(f)
         return gather_mul_pool_edges(batch, nodes, f, mode=self.cfconv_pool,
                                      fused=self.fused_aggregate)
+
+
+class SchNetCFconvDense(nn.Module):
+    """Dense-block cfconv (see ``layers/dense_block.py``): same math as
+    :class:`SchNetCFconv` on ``(G, M, F)`` padded blocks over a ``(G, M, M)``
+    adjacency — the filter MLP runs as one big MXU matmul and the
+    gather-mul-segsum chain collapses to a fusable masked reduce.
+
+    Submodule names match :class:`SchNetCFconv` exactly so the two execution
+    modes share one parameter pytree."""
+
+    units: int
+    activation: Any = "shifted_softplus"
+    use_bias: bool = True
+    cfconv_pool: str = "sum"
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, adj: Array, nodes_p: Array, basis_p: Array) -> Array:
+        f = Dense(self.units, activation=self.activation, use_bias=self.use_bias,
+                  dtype=self.dtype, name="filter_1")(basis_p)
+        f = Dense(self.units, activation="linear", use_bias=self.use_bias,
+                  dtype=self.dtype, name="filter_2")(f)
+        m = f * nodes_p[:, None, :, :] * adj[..., None].astype(f.dtype)
+        agg = jnp.sum(m, axis=2)  # over senders j -> (G, M, U)
+        if self.cfconv_pool == "mean":
+            deg = jnp.maximum(jnp.sum(adj, axis=2), 1.0)[..., None]
+            agg = agg / deg.astype(agg.dtype)
+        elif self.cfconv_pool != "sum":
+            raise ValueError(f"dense-block cfconv_pool {self.cfconv_pool!r} "
+                             "unsupported (sum|mean)")
+        return agg
+
+
+class SchNetInteractionDense(nn.Module):
+    """Dense-block variant of :class:`SchNetInteraction` (same parameter
+    pytree; operates on padded ``(G, M, F)`` node blocks)."""
+
+    units: int = 128
+    activation: Any = "shifted_softplus"
+    use_bias: bool = True
+    cfconv_pool: str = "sum"
+    dtype: Any = None
+    fused_aggregate: bool = False  # accepted for config parity; unused
+
+    @nn.compact
+    def __call__(self, adj: Array, nodes_p: Array, basis_p: Array) -> Array:
+        x = Dense(self.units, activation="linear", use_bias=False,
+                  dtype=self.dtype, name="pre")(nodes_p)
+        x = SchNetCFconvDense(self.units, activation=self.activation,
+                              use_bias=self.use_bias,
+                              cfconv_pool=self.cfconv_pool,
+                              dtype=self.dtype, name="cfconv")(adj, x, basis_p)
+        x = Dense(self.units, activation=self.activation, use_bias=self.use_bias,
+                  dtype=self.dtype, name="post_1")(x)
+        x = Dense(self.units, activation="linear", use_bias=self.use_bias,
+                  dtype=self.dtype, name="post_2")(x)
+        return nodes_p + x.astype(nodes_p.dtype)
 
 
 class SchNetInteraction(nn.Module):

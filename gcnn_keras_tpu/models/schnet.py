@@ -42,6 +42,17 @@ model_default = dict(
     # the step is gather/scatter-bound, so the casts only add overhead.
     # Keep None (f32) unless the model is matmul-dominated.
     dtype=None,
+    # True switches to the dense-block execution mode (layers/dense_block.py):
+    # per-molecule (G, M, M) padded message passing with ZERO gather/scatter
+    # in the hot loop — same math, same parameter pytree, trades ~M^2/E_avg
+    # extra elementwise work for removing the serialized gather chains.
+    # Small non-periodic molecules only; see PERF.md r3.
+    dense_block=False,
+    # True wraps each interaction block in jax.checkpoint (flax nn.remat):
+    # the backward recomputes the block's matmuls instead of reading stored
+    # (E, F) / (G, M, M, F) residuals from HBM — trades MXU FLOPs (cheap)
+    # for HBM traffic (the bottleneck) in force training's grad-of-grad.
+    remat=False,
 )
 
 
@@ -53,6 +64,9 @@ class Schnet(nn.Module):
         cfg = self.config
         z = batch.nodes.get("node_attributes", batch.nodes.get("node_number"))
         n = OptionalInputEmbedding(**cfg["input_embedding"]["node"])(z)
+
+        if cfg.get("dense_block"):
+            return self._dense_forward(cfg, batch, n)
 
         if cfg["make_distance"]:
             ed = edge_distances(batch)
@@ -68,9 +82,11 @@ class Schnet(nn.Module):
                  None: None}.get(cfg.get("dtype"), cfg.get("dtype"))
         units = cfg["interaction_args"]["units"]
         n = Dense(units, activation="linear", name="embed_to_units")(n)
+        Inter = nn.remat(SchNetInteraction) if cfg.get("remat") \
+            else SchNetInteraction
         for i in range(cfg["depth"]):
-            n = SchNetInteraction(**cfg["interaction_args"], dtype=dtype,
-                                  name=f"interaction_{i}")(batch, n, ed)
+            n = Inter(**cfg["interaction_args"], dtype=dtype,
+                      name=f"interaction_{i}")(batch, n, ed)
 
         n = MLP(cfg["last_mlp"]["units"], activation=cfg["last_mlp"]["activation"],
                 name="last_mlp")(n)
@@ -88,6 +104,67 @@ class Schnet(nn.Module):
                 out = MLP(cfg["output_mlp"]["units"],
                           activation=cfg["output_mlp"]["activation"],
                           name="output_mlp")(n)
+        else:
+            raise ValueError(f"unsupported output_embedding {cfg['output_embedding']}")
+        return {"output": out}
+
+
+    def _dense_forward(self, cfg, batch: GraphBatch, n: Array) -> Dict[str, Array]:
+        """Dense-block execution (``layers/dense_block.py``): identical math
+        and parameter pytree to the flat path, zero gather/scatter in the
+        interaction loop. Requires small non-periodic simple graphs."""
+        import jax.numpy as jnp
+        from ..layers.dense_block import (dense_adjacency, dense_pair_distances,
+                                          padded_node_mask)
+        from ..layers.conv.schnet import SchNetInteractionDense
+        from ..batch import flat_to_padded, padded_to_flat
+
+        if "range_image" in batch.edges:
+            raise ValueError("dense_block=True does not support periodic "
+                             "batches (range_image present) — use the flat "
+                             "path for crystals")
+        if not (cfg["make_distance"] and cfg["expand_distance"]):
+            raise ValueError("dense_block=True requires make_distance and "
+                             "expand_distance (distances are recomputed "
+                             "densely from coordinates)")
+
+        adj = dense_adjacency(batch)  # (G, M, M)
+        d = dense_pair_distances(batch.nodes["node_coordinates"], batch, adj)
+        ed = gauss_basis(d[..., None], **cfg["gauss_args"])
+        ed = ed * adj[..., None]
+
+        dtype = {"bfloat16": jnp.bfloat16, "float32": None,
+                 None: None}.get(cfg.get("dtype"), cfg.get("dtype"))
+        units = cfg["interaction_args"]["units"]
+        n = Dense(units, activation="linear", name="embed_to_units")(n)
+        x = flat_to_padded(n, batch)  # (G, M, U)
+        Inter = nn.remat(SchNetInteractionDense) if cfg.get("remat") \
+            else SchNetInteractionDense
+        for i in range(cfg["depth"]):
+            x = Inter(**cfg["interaction_args"], dtype=dtype,
+                      name=f"interaction_{i}")(adj, x, ed)
+
+        x = MLP(cfg["last_mlp"]["units"], activation=cfg["last_mlp"]["activation"],
+                name="last_mlp")(x)
+
+        nmask = padded_node_mask(batch)  # (G, M)
+        if cfg["output_embedding"] == "graph":
+            pool = cfg["node_pooling_args"].get("pooling_method", "sum")
+            out = jnp.sum(x * nmask[..., None].astype(x.dtype), axis=1)
+            if pool == "mean":
+                out = out / jnp.maximum(jnp.sum(nmask, axis=1), 1.0)[:, None]
+            elif pool != "sum":
+                raise ValueError(f"dense_block pooling {pool!r} unsupported")
+            if cfg["use_output_mlp"]:
+                out = MLP(cfg["output_mlp"]["units"],
+                          activation=cfg["output_mlp"]["activation"],
+                          name="output_mlp")(out)
+        elif cfg["output_embedding"] == "node":
+            out = padded_to_flat(x, batch)
+            if cfg["use_output_mlp"]:
+                out = MLP(cfg["output_mlp"]["units"],
+                          activation=cfg["output_mlp"]["activation"],
+                          name="output_mlp")(out)
         else:
             raise ValueError(f"unsupported output_embedding {cfg['output_embedding']}")
         return {"output": out}

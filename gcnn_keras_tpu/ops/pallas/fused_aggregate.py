@@ -267,17 +267,21 @@ def gather_with_sorted_transpose(values: Array, indices: Array,
     else:
         idx_sorted = indices.astype(jnp.int32)
 
+    # index arrays ride linear_call's residual slot (NOT python closures):
+    # closure-captured tracers leak under jax.checkpoint/remat scopes.
     def fwd(res, v):
-        return jnp.take(v, indices, axis=0)
+        idx, _, _ = res
+        return jnp.take(v, idx, axis=0)
 
     def trans(res, ct):
+        _, sp, idx_s = res
         ct2 = ct.reshape(ct.shape[0], -1)
-        if sender_perm is not None:
-            ct2 = jnp.take(ct2, sender_perm, axis=0)
-        out = sorted_segment_sum_pallas(ct2, idx_sorted, n)
+        if sp is not None:
+            ct2 = jnp.take(ct2, sp, axis=0)
+        out = sorted_segment_sum_pallas(ct2, idx_s, n)
         return out.reshape((n,) + trailing)
 
-    return linear_call(fwd, trans, (), values)
+    return linear_call(fwd, trans, (indices, sender_perm, idx_sorted), values)
 
 
 def gather_mul_segsum_auto(x: Array, filt: Array, senders: Array,

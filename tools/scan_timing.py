@@ -33,6 +33,12 @@ def main():
     out = {}
 
     # --- 1 GiB copy: dispatch loop vs scan --------------------------------
+    # CAVEAT (r3): both copy numbers are NON-PHYSICAL (48-69 TB/s measured
+    # on an 819 GB/s part) — XLA folds/fuses the +1 chains, so they measure
+    # neither HBM nor the tunnel. Kept only as a fusion demonstration; the
+    # calibrated bandwidth instrument is tools/profile_hbm_traffic.py. The
+    # STEP numbers below are valid: optimizer state evolves every scan
+    # iteration, so nothing folds.
     x = jnp.ones((256, 1024, 1024), jnp.float32)
 
     @jax.jit
