@@ -1,1 +1,2 @@
 from .base import MolDynamicsModelPredictor
+from .trajectory import ScannedMD
