@@ -50,6 +50,12 @@ class ScannedMD:
     skin: extra cutoff margin at build time (see module docstring).
     thermostat: None (NVE velocity Verlet) or "langevin" (BAOAB; needs
         ``kT`` in model energy units and ``friction`` in 1/time).
+    with_angles: also enumerate angle triples at every re-neighboring
+        (``set_angle``) — required by ACSF-based potentials (HDNNP).
+    graph_extras: extra host-side properties merged into the graph dict at
+        every rebuild (e.g. ``total_charge``, ``esp``, ``esp_grad`` for the
+        HDNNP4th electrostatics); names listed in ``global_keys`` become
+        per-graph globals.
     """
 
     def __init__(self, model, variables, dt: float,
@@ -57,7 +63,9 @@ class ScannedMD:
                  max_neighbours: int = 25, skin: float = 0.0,
                  thermostat: Optional[str] = None, kT: float = 0.0,
                  friction: float = 1.0, energy_key: str = "output",
-                 seed: int = 0):
+                 seed: int = 0, with_angles: bool = False,
+                 graph_extras: Optional[Dict[str, np.ndarray]] = None,
+                 global_keys: tuple = ()):
         if thermostat not in (None, "langevin"):
             raise ValueError(f"unknown thermostat {thermostat!r}")
         if thermostat == "langevin" and kT <= 0:
@@ -73,6 +81,9 @@ class ScannedMD:
         self.kT = float(kT)
         self.friction = float(friction)
         self.energy_key = energy_key
+        self.with_angles = with_angles
+        self.graph_extras = dict(graph_extras or {})
+        self.global_keys = tuple(global_keys)
         self._base_key = jax.random.PRNGKey(seed)
         self._runner = jax.jit(self._segment)
         self._shapes_seen = set()
@@ -146,10 +157,14 @@ class ScannedMD:
         e_pot, e_kin, edge_counts = [], [], []
         for seg in range(n_segments):
             g = {"node_number": node_number, "node_coordinates": pos}
+            g.update(self.graph_extras)
             g = set_range(g, max_distance=self.max_distance + self.skin,
                           max_neighbours=self.max_neighbours)
             g["edge_indices"] = g.pop("range_indices")
-            batch = batch_graphs([g])
+            if self.with_angles:
+                from ..graph.preprocess import set_angle
+                g = set_angle(g, range_indices="edge_indices")
+            batch = batch_graphs([g], global_keys=self.global_keys)
             edge_counts.append(int(np.asarray(batch.edge_mask).sum()))
             self._shapes_seen.add((batch.n_node, batch.n_edge))
 

@@ -118,3 +118,36 @@ def test_scanned_md_langevin_runs_on_model():
     out = md.run(z, pos, n_segments=2)
     assert np.isfinite(out["e_pot"]).all()
     assert float(out["e_kin"][-25:].mean()) > 0.0
+
+
+def test_scanned_md_hdnnp4th_flagship():
+    """The flagship HDNNP4th (ACSF angles + Qeq charge solve +
+    electrostatics) runs inside the scanned segment — charges equilibrate
+    on-device every MD step."""
+    from gcnn_keras_tpu.graph.preprocess import set_angle
+    from gcnn_keras_tpu.models.hdnnp4th import make_model_behler
+
+    z, pos = _mol(n=7, seed=5)
+    extras = {"total_charge": np.zeros((1,), np.float32),
+              "esp": np.zeros((len(z),), np.float32),
+              "esp_grad": np.zeros((len(z), 3), np.float32)}
+    g = {"node_number": z, "node_coordinates": pos, **extras}
+    g = set_range(g, max_distance=4.0, max_neighbours=25)
+    g["edge_indices"] = g.pop("range_indices")
+    g = set_angle(g, range_indices="edge_indices")
+    batch = batch_graphs([g], global_keys=("total_charge",))
+
+    model = make_model_behler(
+        mlp_charge_kwargs={"units": [16, 1], "num_relations": 17,
+                           "activation": ["swish", "linear"]},
+        mlp_local_kwargs={"units": [16, 1], "num_relations": 17,
+                          "activation": ["swish", "linear"]})
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    md = ScannedMD(model, params, dt=5e-4, segment_steps=15,
+                   max_distance=4.0, with_angles=True,
+                   graph_extras=extras, global_keys=("total_charge",))
+    out = md.run(z, pos, n_segments=2)
+    assert np.isfinite(out["e_pot"]).all()
+    assert np.isfinite(out["pos"]).all()
+    assert out["e_pot"].shape == (30,)
