@@ -93,18 +93,26 @@ class ScannedMD:
                  m: Array, key: Array):
         dt = self.dt
         mask = batch.node_mask[:, None].astype(pos.dtype)
+        G = batch.n_graphs
 
         def ef(p):
             out = self.model.apply(
                 variables, batch.replace_nodes(node_coordinates=p))
-            return out[self.energy_key][0, 0]
+            e = out[self.energy_key]
+            e = e.reshape(e.shape[0], -1)[:, 0]  # (G,)
+            gmask = batch.globals["graph_mask"].astype(e.dtype)
+            e = e * gmask
+            # per-graph energies are independent (disjoint graphs), so one
+            # reverse pass over the SUM yields every replica's forces at once
+            return jnp.sum(e), e
 
         def efn(p):
-            e, g = jax.value_and_grad(ef)(p)
-            return e, -g
+            (_, e_g), g = jax.value_and_grad(ef, has_aux=True)(p)
+            return e_g, -g
 
         def kinetic(vel):
-            return 0.5 * jnp.sum(m * mask * vel * vel)
+            ke = 0.5 * jnp.sum(m * mask * vel * vel, axis=1)  # (N,)
+            return jax.ops.segment_sum(ke, batch.graph_id, G)  # (G,)
 
         if self.thermostat == "langevin":
             c1 = jnp.asarray(np.exp(-self.friction * dt), pos.dtype)
@@ -145,44 +153,75 @@ class ScannedMD:
     def run(self, node_number: np.ndarray, positions: np.ndarray,
             n_segments: int, velocities: Optional[np.ndarray] = None,
             masses: Optional[np.ndarray] = None) -> Dict[str, Any]:
-        node_number = np.asarray(node_number)
-        n = node_number.shape[0]
-        pos = np.asarray(positions, np.float32)
-        vel = (np.zeros_like(pos) if velocities is None
-               else np.asarray(velocities, np.float32))
-        if masses is None:
-            masses = masses_from_numbers(node_number)
-        masses = np.asarray(masses, np.float32)
+        """Single-molecule trajectory (``e_pot``/``e_kin`` shape (steps,))."""
+        system = {"node_number": np.asarray(node_number),
+                  "node_coordinates": np.asarray(positions, np.float32)}
+        if velocities is not None:
+            system["velocities"] = np.asarray(velocities, np.float32)
+        if masses is not None:
+            system["masses"] = np.asarray(masses, np.float32)
+        out = self.run_ensemble([system], n_segments)
+        return {"pos": out["pos"][0], "vel": out["vel"][0],
+                "e_pot": out["e_pot"][:, 0], "e_kin": out["e_kin"][:, 0],
+                "edge_counts": out["edge_counts"],
+                "n_shapes_compiled": out["n_shapes_compiled"]}
+
+    def run_ensemble(self, systems, n_segments: int) -> Dict[str, Any]:
+        """Many independent replicas integrated in the SAME scanned segment.
+
+        Disjoint batching makes the replicas' forces exactly independent
+        (one reverse pass over the summed energy), so S molecules cost one
+        trajectory's dispatch — the production MD-screening configuration.
+        ``systems``: list of dicts with ``node_number``, ``node_coordinates``
+        and optional ``velocities`` / ``masses``. Returns per-replica
+        ``pos``/``vel`` lists and ``e_pot``/``e_kin`` of shape (steps, S).
+        """
+        S = len(systems)
+        zs = [np.asarray(s["node_number"]) for s in systems]
+        ns = [z.shape[0] for z in zs]
+        pos = [np.asarray(s["node_coordinates"], np.float32) for s in systems]
+        vel = [np.asarray(s.get("velocities",
+                                np.zeros((n, 3), np.float32)), np.float32)
+               for s, n in zip(systems, ns)]
+        masses = [np.asarray(s.get("masses", masses_from_numbers(z)),
+                             np.float32) for s, z in zip(systems, zs)]
+        offsets = np.concatenate([[0], np.cumsum(ns)]).astype(int)
+        tot_n = int(offsets[-1])
 
         e_pot, e_kin, edge_counts = [], [], []
         for seg in range(n_segments):
-            g = {"node_number": node_number, "node_coordinates": pos}
-            g.update(self.graph_extras)
-            g = set_range(g, max_distance=self.max_distance + self.skin,
-                          max_neighbours=self.max_neighbours)
-            g["edge_indices"] = g.pop("range_indices")
-            if self.with_angles:
-                from ..graph.preprocess import set_angle
-                g = set_angle(g, range_indices="edge_indices")
-            batch = batch_graphs([g], global_keys=self.global_keys)
+            gs = []
+            for z, p in zip(zs, pos):
+                g = {"node_number": z, "node_coordinates": p}
+                g.update(self.graph_extras)
+                g = set_range(g, max_distance=self.max_distance + self.skin,
+                              max_neighbours=self.max_neighbours)
+                g["edge_indices"] = g.pop("range_indices")
+                if self.with_angles:
+                    from ..graph.preprocess import set_angle
+                    g = set_angle(g, range_indices="edge_indices")
+                gs.append(g)
+            batch = batch_graphs(gs, global_keys=self.global_keys)
             edge_counts.append(int(np.asarray(batch.edge_mask).sum()))
             self._shapes_seen.add((batch.n_node, batch.n_edge))
 
             m_pad = np.ones((batch.n_node, 1), np.float32)
-            m_pad[:n, 0] = masses
             pos_pad = np.zeros((batch.n_node, 3), np.float32)
-            pos_pad[:n] = pos
             vel_pad = np.zeros((batch.n_node, 3), np.float32)
-            vel_pad[:n] = vel
+            for i, (o, n) in enumerate(zip(offsets[:-1], ns)):
+                m_pad[o:o + n, 0] = masses[i]
+                pos_pad[o:o + n] = pos[i]
+                vel_pad[o:o + n] = vel[i]
 
             key = jax.random.fold_in(self._base_key, seg)
             p, v, ep, ek = self._runner(
                 self.variables, batch, jnp.asarray(pos_pad),
                 jnp.asarray(vel_pad), jnp.asarray(m_pad), key)
-            pos = np.asarray(p)[:n]
-            vel = np.asarray(v)[:n]
-            e_pot.append(np.asarray(ep))
-            e_kin.append(np.asarray(ek))
+            p, v = np.asarray(p), np.asarray(v)
+            pos = [p[o:o + n] for o, n in zip(offsets[:-1], ns)]
+            vel = [v[o:o + n] for o, n in zip(offsets[:-1], ns)]
+            e_pot.append(np.asarray(ep)[:, :S])
+            e_kin.append(np.asarray(ek)[:, :S])
 
         return {"pos": pos, "vel": vel,
                 "e_pot": np.concatenate(e_pot),

@@ -151,3 +151,33 @@ def test_scanned_md_hdnnp4th_flagship():
     assert np.isfinite(out["e_pot"]).all()
     assert np.isfinite(out["pos"]).all()
     assert out["e_pot"].shape == (30,)
+
+
+def test_scanned_md_ensemble_matches_independent_runs():
+    """S replicas in one scanned segment == S independent trajectories
+    (disjoint batching keeps forces exactly independent)."""
+    model = make_model()
+    systems, singles = [], []
+    params = None
+    for seed in range(3):
+        z, pos = _mol(n=6 + seed, seed=seed)
+        systems.append({"node_number": z, "node_coordinates": pos})
+        singles.append((z, pos))
+        if params is None:
+            g = {"node_number": z, "node_coordinates": pos,
+                 "energy": np.array([0.0], dtype=np.float32)}
+            g = set_range(g, max_distance=4.0, max_neighbours=25)
+            g["edge_indices"] = g.pop("range_indices")
+            params = model.init(jax.random.PRNGKey(0),
+                                batch_graphs([g], global_keys=("energy",)))
+
+    md = ScannedMD(model, params, dt=1e-3, segment_steps=20)
+    ens = md.run_ensemble(systems, n_segments=2)
+    assert ens["e_pot"].shape == (40, 3)
+
+    for i, (z, pos) in enumerate(singles):
+        md1 = ScannedMD(model, params, dt=1e-3, segment_steps=20)
+        out = md1.run(z, pos, n_segments=2)
+        np.testing.assert_allclose(ens["pos"][i], out["pos"], atol=2e-5)
+        np.testing.assert_allclose(ens["e_pot"][:, i], out["e_pot"],
+                                   atol=2e-5)
