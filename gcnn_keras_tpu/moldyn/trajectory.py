@@ -86,6 +86,7 @@ class ScannedMD:
         self.global_keys = tuple(global_keys)
         self._base_key = jax.random.PRNGKey(seed)
         self._runner = jax.jit(self._segment)
+        self._sharded_runners: Dict[int, Any] = {}
         self._shapes_seen = set()
 
     # -- one compiled segment ------------------------------------------------
@@ -149,6 +150,31 @@ class ScannedMD:
             length=self.segment_steps)
         return p, v, e_pot, e_kin
 
+    def _make_sharded(self, n_devices: int):
+        """Replica-DP runner: each mesh device integrates its own chunk of
+        the ensemble (its own disjoint batch) inside shard_map — replicas
+        are independent, so there are no collectives at all; the mesh just
+        multiplies MD throughput."""
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        devs = jax.devices()
+        if n_devices > len(devs):
+            raise ValueError(f"n_devices={n_devices} > available {len(devs)}")
+        mesh = Mesh(np.array(devs[:n_devices]), ("dp",))
+
+        def inner(variables, batch, pos, vel, m, key):
+            b = jax.tree.map(lambda a: a[0], batch)
+            p, v, ep, ek = self._segment(variables, b, pos[0], vel[0],
+                                         m[0], key[0])
+            return p[None], v[None], ep[None], ek[None]
+
+        f = jax.shard_map(
+            inner, mesh=mesh,
+            in_specs=(P(), P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
+            out_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
+            check_vma=False)
+        return jax.jit(f)
+
     # -- host loop -----------------------------------------------------------
     def run(self, node_number: np.ndarray, positions: np.ndarray,
             n_segments: int, velocities: Optional[np.ndarray] = None,
@@ -166,17 +192,27 @@ class ScannedMD:
                 "edge_counts": out["edge_counts"],
                 "n_shapes_compiled": out["n_shapes_compiled"]}
 
-    def run_ensemble(self, systems, n_segments: int) -> Dict[str, Any]:
+    def run_ensemble(self, systems, n_segments: int,
+                     n_devices: Optional[int] = None) -> Dict[str, Any]:
         """Many independent replicas integrated in the SAME scanned segment.
 
         Disjoint batching makes the replicas' forces exactly independent
         (one reverse pass over the summed energy), so S molecules cost one
         trajectory's dispatch — the production MD-screening configuration.
         ``systems``: list of dicts with ``node_number``, ``node_coordinates``
-        and optional ``velocities`` / ``masses``. Returns per-replica
+        and optional ``velocities`` / ``masses`` (any other keys are merged
+        into the graph dict, e.g. per-molecule ``total_charge``/``esp``).
+        ``n_devices``: shard the ensemble over a device mesh (replica data
+        parallelism — no collectives, each device integrates its contiguous
+        chunk; requires S divisible by n_devices). Returns per-replica
         ``pos``/``vel`` lists and ``e_pot``/``e_kin`` of shape (steps, S).
         """
         S = len(systems)
+        D = int(n_devices) if n_devices else 1
+        if S % D != 0:
+            raise ValueError(f"{S} replicas not divisible by "
+                             f"n_devices={D}")
+        chunk = S // D
         zs = [np.asarray(s["node_number"]) for s in systems]
         ns = [z.shape[0] for z in zs]
         pos = [np.asarray(s["node_coordinates"], np.float32) for s in systems]
@@ -185,15 +221,17 @@ class ScannedMD:
                for s, n in zip(systems, ns)]
         masses = [np.asarray(s.get("masses", masses_from_numbers(z)),
                              np.float32) for s, z in zip(systems, zs)]
-        offsets = np.concatenate([[0], np.cumsum(ns)]).astype(int)
-        tot_n = int(offsets[-1])
+        extras = [{k: v for k, v in s.items()
+                   if k not in ("node_number", "node_coordinates",
+                                "velocities", "masses")} for s in systems]
 
         e_pot, e_kin, edge_counts = [], [], []
         for seg in range(n_segments):
             gs = []
-            for z, p in zip(zs, pos):
+            for z, p, ex in zip(zs, pos, extras):
                 g = {"node_number": z, "node_coordinates": p}
                 g.update(self.graph_extras)
+                g.update(ex)
                 g = set_range(g, max_distance=self.max_distance + self.skin,
                               max_neighbours=self.max_neighbours)
                 g["edge_indices"] = g.pop("range_indices")
@@ -201,27 +239,81 @@ class ScannedMD:
                     from ..graph.preprocess import set_angle
                     g = set_angle(g, range_indices="edge_indices")
                 gs.append(g)
-            batch = batch_graphs(gs, global_keys=self.global_keys)
-            edge_counts.append(int(np.asarray(batch.edge_mask).sum()))
-            self._shapes_seen.add((batch.n_node, batch.n_edge))
 
-            m_pad = np.ones((batch.n_node, 1), np.float32)
-            pos_pad = np.zeros((batch.n_node, 3), np.float32)
-            vel_pad = np.zeros((batch.n_node, 3), np.float32)
-            for i, (o, n) in enumerate(zip(offsets[:-1], ns)):
-                m_pad[o:o + n, 0] = masses[i]
-                pos_pad[o:o + n] = pos[i]
-                vel_pad[o:o + n] = vel[i]
+            # per-device groups must share ONE padded shape (shard_map
+            # requires uniform shards); take the max bucket over groups
+            groups = [gs[d * chunk:(d + 1) * chunk] for d in range(D)]
+            from ..batch import bucket_size
+            pads = {}
+            if D > 1:
+                pads["n_node_pad"] = bucket_size(max(
+                    sum(g["node_coordinates"].shape[0] for g in grp)
+                    for grp in groups) + 1)
+                pads["n_edge_pad"] = bucket_size(max(
+                    sum(g["edge_indices"].shape[0] for g in grp)
+                    for grp in groups) or 1)
+                pads["max_nodes"] = max(g["node_coordinates"].shape[0]
+                                        for g in gs)
+                if self.with_angles:
+                    pads["n_angle_pad"] = bucket_size(max(
+                        sum(g["angle_indices_nodes"].shape[0] for g in grp)
+                        for grp in groups) or 1)
+
+            batches = [batch_graphs(grp, global_keys=self.global_keys,
+                                    **pads) for grp in groups]
+            batch0 = batches[0]
+            edge_counts.append(sum(int(np.asarray(b.edge_mask).sum())
+                                   for b in batches))
+            self._shapes_seen.add((D, batch0.n_node, batch0.n_edge))
+
+            m_pads, pos_pads, vel_pads = [], [], []
+            for d, grp in enumerate(groups):
+                cns = ns[d * chunk:(d + 1) * chunk]
+                offs = np.concatenate([[0], np.cumsum(cns)]).astype(int)
+                b = batches[d]
+                m_pad = np.ones((b.n_node, 1), np.float32)
+                pos_pad = np.zeros((b.n_node, 3), np.float32)
+                vel_pad = np.zeros((b.n_node, 3), np.float32)
+                for j, (o, n) in enumerate(zip(offs[:-1], cns)):
+                    i = d * chunk + j
+                    m_pad[o:o + n, 0] = masses[i]
+                    pos_pad[o:o + n] = pos[i]
+                    vel_pad[o:o + n] = vel[i]
+                m_pads.append(m_pad)
+                pos_pads.append(pos_pad)
+                vel_pads.append(vel_pad)
 
             key = jax.random.fold_in(self._base_key, seg)
-            p, v, ep, ek = self._runner(
-                self.variables, batch, jnp.asarray(pos_pad),
-                jnp.asarray(vel_pad), jnp.asarray(m_pad), key)
-            p, v = np.asarray(p), np.asarray(v)
-            pos = [p[o:o + n] for o, n in zip(offsets[:-1], ns)]
-            vel = [v[o:o + n] for o, n in zip(offsets[:-1], ns)]
-            e_pot.append(np.asarray(ep)[:, :S])
-            e_kin.append(np.asarray(ek)[:, :S])
+            if D == 1:
+                p, v, ep, ek = self._runner(
+                    self.variables, batch0, jnp.asarray(pos_pads[0]),
+                    jnp.asarray(vel_pads[0]), jnp.asarray(m_pads[0]), key)
+                p, v = np.asarray(p)[None], np.asarray(v)[None]
+                ep, ek = np.asarray(ep)[None], np.asarray(ek)[None]
+            else:
+                if D not in self._sharded_runners:
+                    self._sharded_runners[D] = self._make_sharded(D)
+                stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+                keys = jax.random.split(key, D)
+                p, v, ep, ek = self._sharded_runners[D](
+                    self.variables, stacked,
+                    jnp.asarray(np.stack(pos_pads)),
+                    jnp.asarray(np.stack(vel_pads)),
+                    jnp.asarray(np.stack(m_pads)), keys)
+                p, v = np.asarray(p), np.asarray(v)
+                ep, ek = np.asarray(ep), np.asarray(ek)
+
+            pos, vel = [], []
+            for d in range(D):
+                cns = ns[d * chunk:(d + 1) * chunk]
+                offs = np.concatenate([[0], np.cumsum(cns)]).astype(int)
+                pos += [p[d, o:o + n] for o, n in zip(offs[:-1], cns)]
+                vel += [v[d, o:o + n] for o, n in zip(offs[:-1], cns)]
+            # (D, steps, G_pad) -> (steps, S) in original replica order
+            e_pot.append(np.concatenate([ep[d][:, :chunk] for d in range(D)],
+                                        axis=1))
+            e_kin.append(np.concatenate([ek[d][:, :chunk] for d in range(D)],
+                                        axis=1))
 
         return {"pos": pos, "vel": vel,
                 "e_pot": np.concatenate(e_pot),

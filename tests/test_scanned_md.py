@@ -181,3 +181,30 @@ def test_scanned_md_ensemble_matches_independent_runs():
         np.testing.assert_allclose(ens["pos"][i], out["pos"], atol=2e-5)
         np.testing.assert_allclose(ens["e_pot"][:, i], out["e_pot"],
                                    atol=2e-5)
+
+
+def test_scanned_md_ensemble_sharded_matches_single_device():
+    """Replica-DP over a 4-device mesh == single-device ensemble (no
+    collectives; each device integrates its chunk of replicas)."""
+    model = make_model()
+    systems = []
+    params = None
+    for seed in range(8):
+        z, pos = _mol(n=5 + (seed % 3), seed=10 + seed)
+        systems.append({"node_number": z, "node_coordinates": pos})
+        if params is None:
+            g = {"node_number": z, "node_coordinates": pos,
+                 "energy": np.array([0.0], dtype=np.float32)}
+            g = set_range(g, max_distance=4.0, max_neighbours=25)
+            g["edge_indices"] = g.pop("range_indices")
+            params = model.init(jax.random.PRNGKey(0),
+                                batch_graphs([g], global_keys=("energy",)))
+
+    md1 = ScannedMD(model, params, dt=1e-3, segment_steps=15)
+    ref = md1.run_ensemble(systems, n_segments=2)
+    md4 = ScannedMD(model, params, dt=1e-3, segment_steps=15)
+    out = md4.run_ensemble(systems, n_segments=2, n_devices=4)
+
+    np.testing.assert_allclose(out["e_pot"], ref["e_pot"], atol=2e-5)
+    for a, b in zip(out["pos"], ref["pos"]):
+        np.testing.assert_allclose(a, b, atol=2e-5)
