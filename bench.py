@@ -259,14 +259,32 @@ def bench_hdnnp4th(jax, jnp, optax):
     optimizer = optax.adam(1e-3)
     opt_state = optimizer.init(params)
 
-    @jax.jit
-    def step(params, opt_state, b):
+    def step_fn(params, opt_state, b):
         (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, b)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
+    step = jax.jit(step_fn)
     dt, _ = _timeit(step, (params, opt_state, batch), iters=20)
+
+    # scan ground truth (r3: the flagship dispatch loop carries ~26%
+    # launch inflation — 13.7 ms loop vs 10.1 ms scanned)
+    k = 10
+
+    @jax.jit
+    def multi(params, opt_state, b):
+        def body(carry, _):
+            p, s = carry
+            p, s, loss = step_fn(p, s, b)
+            return (p, s), loss
+
+        (p, s), losses = jax.lax.scan(body, (params, opt_state), None,
+                                      length=k)
+        return p, s, losses[-1]
+
+    dt_scan, _ = _timeit(multi, (params, opt_state, batch), iters=2)
+    dt_scan /= k
 
     # Qeq dense charge solve alone (the reference's O(M^3) wall)
     chi = jnp.asarray(np.random.RandomState(2).randn(batch.n_node)
@@ -282,6 +300,9 @@ def bench_hdnnp4th(jax, jnp, optax):
         "edges_per_sec": n_edges / dt,
         "angles_per_sec": n_angles / dt,
         "ms_per_step": dt * 1e3,
+        "ms_per_step_scan": dt_scan * 1e3,
+        "edges_per_sec_scan": n_edges / dt_scan,
+        "angles_per_sec_scan": n_angles / dt_scan,
         "qeq_solve_ms": qeq_dt * 1e3,
     }
 
@@ -393,6 +414,9 @@ def main():
             "edges_per_sec": round(hdnnp["edges_per_sec"], 1),
             "angles_per_sec": round(hdnnp["angles_per_sec"], 1),
             "ms_per_step": round(hdnnp["ms_per_step"], 3),
+            "ms_per_step_scan": round(hdnnp["ms_per_step_scan"], 3),
+            "edges_per_sec_scan": round(hdnnp["edges_per_sec_scan"], 1),
+            "angles_per_sec_scan": round(hdnnp["angles_per_sec_scan"], 1),
             "qeq_solve_ms": round(hdnnp["qeq_solve_ms"], 3),
         },
         "hdnnp4th_large_mol": {
