@@ -78,13 +78,76 @@ class Trainer:
             self._step = jax.jit(fn, donate_argnums=(0,))
         return self._step
 
-    def fit_epoch(self, state: TrainState, batches) -> Tuple[TrainState, Dict[str, float]]:
+    def multi_step_fn(self) -> Callable:
+        """K optimizer steps over K stacked batches inside ONE jitted
+        lax.scan — one dispatch instead of K. Measured r3: every tunneled
+        dispatch costs 0.5-3.5 ms of pure launch latency (PERF.md
+        "timing instruments"), so fusing dispatches recovers ~6% (SchNet)
+        to ~26% (HDNNP4th flagship) of training wall time."""
+        if getattr(self, "_multi", None) is None:
+            base = self._dp_step if self.mesh is not None \
+                else self._single_device_step
+
+            def multi(state, stacked):
+                state, ms = jax.lax.scan(base, state, stacked)
+                return state, jax.tree.map(lambda x: jnp.mean(x, axis=0), ms)
+
+            self._multi = jax.jit(multi, donate_argnums=(0,))
+        return self._multi
+
+    @staticmethod
+    def _shape_key(batch) -> tuple:
+        leaves, treedef = jax.tree_util.tree_flatten(batch)
+        return (treedef,) + tuple((l.shape, getattr(l, "dtype", None))
+                                  for l in leaves)
+
+    def fit_epoch(self, state: TrainState, batches,
+                  steps_per_dispatch: int = 1
+                  ) -> Tuple[TrainState, Dict[str, float]]:
         step = self.step_fn()
         agg: Dict[str, float] = {}
         count = 0
-        for batch in batches:
-            state, metrics = step(state, batch)
-            count += 1
+
+        def apply_metrics(metrics, n):
+            nonlocal count
+            count += n
             for k, v in metrics.items():
-                agg[k] = agg.get(k, 0.0) + float(v)
+                agg[k] = agg.get(k, 0.0) + float(v) * n
+
+        if steps_per_dispatch <= 1:
+            for batch in batches:
+                state, metrics = step(state, batch)
+                apply_metrics(metrics, 1)
+            return state, {k: v / max(count, 1) for k, v in agg.items()}
+
+        multi = self.multi_step_fn()
+        group, group_key = [], None
+        pending = batches
+
+        def flush():
+            nonlocal state, group, group_key
+            if len(group) == steps_per_dispatch:
+                stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *group)
+                state, metrics = multi(state, stacked)
+                apply_metrics(metrics, len(group))
+            else:
+                # partial/mismatched groups run as single steps — a scan of
+                # every leftover length would each compile separately
+                for b in group:
+                    st, metrics = step(state, b)
+                    state = st
+                    apply_metrics(metrics, 1)
+            group, group_key = [], None
+
+        for batch in pending:
+            key = self._shape_key(batch)
+            if group_key is not None and (key != group_key
+                                          or len(group) >= steps_per_dispatch):
+                flush()
+            if group_key is None:
+                group_key = key
+            group.append(batch)
+            if len(group) >= steps_per_dispatch:
+                flush()
+        flush()
         return state, {k: v / max(count, 1) for k, v in agg.items()}

@@ -206,3 +206,45 @@ def test_host_shard_indices_partition():
     assert all(len(s) == 25 for s in shards)
     all_idx = np.concatenate(shards)
     assert len(np.unique(all_idx)) == 100  # disjoint; 3 dropped as remainder
+
+
+def test_fit_epoch_fused_dispatch_matches_sequential():
+    """steps_per_dispatch=K (K steps in one scanned dispatch) must produce
+    the same parameters and mean metrics as the per-batch loop, and fall
+    back to single steps for leftovers/mismatched shapes."""
+    from gcnn_keras_tpu.training.trainer import Trainer
+    from gcnn_keras_tpu.models.schnet import make_model
+
+    model = make_model(depth=1, interaction_args={"units": 16},
+                       gauss_args={"bins": 8, "distance_max": 5.0},
+                       last_mlp={"units": [8], "activation": ["shifted_softplus"]},
+                       output_mlp={"units": [1], "activation": ["linear"]})
+    # 7 batches of one shape + 1 odd-shaped leftover
+    batches = [batch_graphs(_qm_like_dataset(n_mols=3, seed=i),
+                            n_node_pad=64, n_edge_pad=512, max_nodes=12,
+                            global_keys=("energy",)) for i in range(7)]
+    batches.append(batch_graphs(_qm_like_dataset(n_mols=3, seed=99),
+                                n_node_pad=96, n_edge_pad=512, max_nodes=12,
+                                global_keys=("energy",)))
+    params = model.init(jax.random.PRNGKey(0), batches[0])
+
+    def loss_fn(p, b):
+        out = model.apply(p, b)["output"]
+        return masked_graph_mae(out, b.globals["energy"],
+                                b.globals["graph_mask"]), {}
+
+    def run(spd):
+        tr = Trainer(loss_fn, optax.adam(1e-3))
+        # donated steps consume their input buffers — fresh copy per run
+        state = tr.init_state(jax.tree.map(jnp.array, params))
+        state, metrics = tr.fit_epoch(state, batches,
+                                      steps_per_dispatch=spd)
+        return state, metrics
+
+    s1, m1 = run(1)
+    s3, m3 = run(3)
+    assert int(s1.step) == int(s3.step) == 8
+    diff = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                        s1.params, s3.params)
+    assert max(jax.tree.leaves(diff)) < 1e-6
+    assert abs(m1["loss"] - m3["loss"]) < 1e-6

@@ -29,6 +29,11 @@ def main():
                     help="k-fold cross-validation like the reference's "
                          "5-fold protocol; score rows then carry real +-")
     ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--steps-per-dispatch", type=int, default=1,
+                    help="fuse K optimizer steps into one jitted lax.scan "
+                         "dispatch (recovers 0.5-3.5 ms launch latency per "
+                         "step on a tunneled chip; K batches must share "
+                         "bucketed shapes to fuse)")
     ap.add_argument("--n-devices", type=int, default=None,
                     help="data-parallel over the first N devices "
                          "(shard_map mesh); default single-device")
@@ -190,7 +195,6 @@ def _run_fold(args, ds, train_idx, test_idx, energy_model, optimizer, mesh,
     from gcnn_keras_tpu.training.trainer import Trainer
     trainer = Trainer(loss_fn, optimizer, mesh=mesh)
     state = trainer.init_state(params)
-    step = trainer.step_fn()
 
     def epoch_batches():
         if mesh is None:
@@ -203,10 +207,15 @@ def _run_fold(args, ds, train_idx, test_idx, energy_model, optimizer, mesh,
     hist = {"loss": [], "val_energy_mae": [], "val_force_mae": []}
     t0 = time.perf_counter()
     for epoch in range(args.epochs):
-        losses = []
-        for b in epoch_batches():
-            state, metrics = step(state, b)
-            losses.append(float(metrics["loss"]))
+        state, em = trainer.fit_epoch(
+            state, epoch_batches(),
+            steps_per_dispatch=args.steps_per_dispatch)
+        if "loss" not in em:
+            raise RuntimeError(
+                "epoch produced no training steps — with --n-devices the "
+                "loader must yield at least n_devices same-shape batches "
+                "per epoch (raise --frames or lower --batch-size)")
+        losses = [em["loss"]]
         params = state.params
         out = fmodel.apply(params, test_batch)
         ve = float(masked_graph_mae(out["energy"], test_batch.globals["energy"],
