@@ -228,12 +228,27 @@ class ScannedMD:
         e_pot, e_kin, edge_counts = [], [], []
         for seg in range(n_segments):
             gs = []
-            for z, p, ex in zip(zs, pos, extras):
+            for i, (z, p, ex) in enumerate(zip(zs, pos, extras)):
                 g = {"node_number": z, "node_coordinates": p}
                 g.update(self.graph_extras)
                 g.update(ex)
-                g = set_range(g, max_distance=self.max_distance + self.skin,
-                              max_neighbours=self.max_neighbours)
+                if "graph_lattice" in g:
+                    # periodic system: wrap into the cell before the
+                    # neighbor build (images handle the rest); the model's
+                    # range_image/graph_lattice path owns the shifts
+                    lat = np.asarray(g["graph_lattice"], np.float32)
+                    frac = np.asarray(p, np.float64) @ np.linalg.inv(lat)
+                    p = (np.mod(frac, 1.0) @ lat).astype(np.float32)
+                    pos[i] = p
+                    g["node_coordinates"] = p
+                    from ..graph.preprocess import set_range_periodic
+                    g = set_range_periodic(
+                        g, max_distance=self.max_distance + self.skin,
+                        max_neighbours=self.max_neighbours)
+                else:
+                    g = set_range(g,
+                                  max_distance=self.max_distance + self.skin,
+                                  max_neighbours=self.max_neighbours)
                 g["edge_indices"] = g.pop("range_indices")
                 if self.with_angles:
                     from ..graph.preprocess import set_angle
