@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--structures", type=int, default=64)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--steps-per-dispatch", type=int, default=1,
+                    help="fuse K same-shape optimizer steps into one "
+                         "jitted dispatch (see PERF.md r3)")
     ap.add_argument("--folds", type=int, default=1,
                     help="k-fold cross-validation like the reference's "
                          "5-fold (1 = single 80/20 split)")
@@ -82,11 +85,8 @@ def main():
         return masked_graph_mae(out, b.globals["graph_labels"],
                                 b.globals["graph_mask"]), {}
 
-    @jax.jit
-    def step(p, s, b):
-        (l, _), g = jax.value_and_grad(loss_fn, has_aux=True)(p, b)
-        up, s = optimizer.update(g, s, p)
-        return optax.apply_updates(p, up), s, l
+    from gcnn_keras_tpu.training.trainer import Trainer
+    trainer = Trainer(loss_fn, optimizer)
 
     hists, times = [], []
     for fold in range(k):
@@ -100,15 +100,15 @@ def main():
         first = next(iter(loader))
         params = model.init(jax.random.PRNGKey(args.seed + fold), first,
                             train=False)
-        opt_state = optimizer.init(params)
+        state = trainer.init_state(params)
         test_batch = test.to_batch(global_keys=("graph_labels",))
         hist = {"loss": [], "val_mae": []}
         t0 = time.perf_counter()
         for epoch in range(args.epochs):
-            losses = []
-            for b in loader:
-                params, opt_state, l = step(params, opt_state, b)
-                losses.append(float(l))
+            state, em = trainer.fit_epoch(
+                state, loader, steps_per_dispatch=args.steps_per_dispatch)
+            params = state.params
+            losses = [em.get("loss", float("nan"))]
             out = model.apply(params, test_batch, train=False)["output"]
             vm = float(masked_graph_mae(out,
                                         test_batch.globals["graph_labels"],

@@ -22,6 +22,10 @@ def main():
     ap.add_argument("--folds", type=int, default=3)
     ap.add_argument("--molecules", type=int, default=128)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--steps-per-dispatch", type=int, default=1,
+                    help="fuse K same-shape optimizer steps into one "
+                         "jitted dispatch (2.65x measured on the tunneled "
+                         "chip; see PERF.md r3)")
     args = ap.parse_args()
 
     import jax
@@ -95,27 +99,25 @@ def main():
                                   **hint)
         first = next(iter(loader))
         params = model.init(jax.random.PRNGKey(fold), first)
-        opt_state = optimizer.init(params)
 
         def loss_fn(p, b):
             out = model.apply(p, b)["output"]
             return masked_graph_mae(out, b.globals["graph_labels"],
                                     b.globals["graph_mask"]), {}
 
-        @jax.jit
-        def step(p, s, b):
-            (l, _), g = jax.value_and_grad(loss_fn, has_aux=True)(p, b)
-            up, s = optimizer.update(g, s, p)
-            return optax.apply_updates(p, up), s, l
+        from gcnn_keras_tpu.training.trainer import Trainer
+        trainer = Trainer(loss_fn, optimizer)
+        state = trainer.init_state(params)
 
         test_batch = test.to_batch(global_keys=("graph_labels",))
         hist = {"loss": [], "val_scaled_mae": []}
         t0 = time.perf_counter()
         for epoch in range(args.epochs):
-            losses = []
-            for b in loader:
-                params, opt_state, l = step(params, opt_state, b)
-                losses.append(float(l))
+            state, em = trainer.fit_epoch(
+                state, loader,
+                steps_per_dispatch=getattr(args, "steps_per_dispatch", 1))
+            params = state.params
+            losses = [em.get("loss", float("nan"))]
             out = model.apply(params, test_batch)["output"]
             vm = float(masked_graph_mae(out, test_batch.globals["graph_labels"],
                                         test_batch.globals["graph_mask"]))
