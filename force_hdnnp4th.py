@@ -25,6 +25,7 @@ CONFIG = {
     "learning_rate_stop": 1e-5,
     "ensemble_size": 3,
     "seed": 42,
+    "steps_per_dispatch": 1,  # fuse K optimizer steps per jitted dispatch (PERF.md r3)
     "elements": [1, 6, 16],
     "g2": {"eta": [0.0, 0.3], "rs": [0.0, 3.0], "rc": 10.0},
     "g4": {"eta": [0.0, 0.3], "lamda": [-1.0, 1.0], "zeta": [1.0, 8.0], "rc": 6.0},
@@ -123,7 +124,6 @@ def main():
         lr = optax.linear_schedule(cfg["learning_rate_start"],
                                    cfg["learning_rate_stop"], steps)
         optimizer = optax.adam(lr)
-        opt_state = optimizer.init(params)
 
         def loss_fn(p, b):
             out = fmodel.apply(p, b, train=False)
@@ -134,21 +134,20 @@ def main():
             return wq * lq + we * le + wf * lf, \
                 {"charge_mae": lq, "energy_mae": le, "force_mae": lf}
 
-        @jax.jit
-        def step(p, s, b):
-            (l, m), g = jax.value_and_grad(loss_fn, has_aux=True)(p, b)
-            up, s = optimizer.update(g, s, p)
-            return optax.apply_updates(p, up), s, l, m
+        from gcnn_keras_tpu.training.trainer import Trainer
+        trainer = Trainer(loss_fn, optimizer)
+        state = trainer.init_state(params)
 
         val_batch = val.to_batch(global_keys=("energy", "total_charge"))
         hist = {"loss": [], "val_force_mae": [], "val_energy_mae": [],
                 "val_charge_mae": []}
         t0 = time.process_time()
         for epoch in range(cfg["epochs"]):
-            losses = []
-            for b in loader:
-                params, opt_state, l, m = step(params, opt_state, b)
-                losses.append(float(l))
+            state, em = trainer.fit_epoch(
+                state, loader,
+                steps_per_dispatch=cfg.get("steps_per_dispatch", 1))
+            params, opt_state = state.params, state.opt_state
+            losses = [em.get("loss", float("nan"))]
             vout = fmodel.apply(params, val_batch, train=False)
             hist["loss"].append(float(np.mean(losses)))
             hist["val_energy_mae"].append(float(masked_graph_mae(
