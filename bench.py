@@ -215,7 +215,29 @@ def bench_md_latency(jax, jnp):
         return (time.perf_counter() - t0) / reps
 
     t1, t2 = wall(50), wall(400)
-    return {"atoms": n, "us_per_md_step": (t2 - t1) / 350 * 1e6}
+    single = (t2 - t1) / 350 * 1e6
+
+    # replica-ensemble throughput through the deployable ScannedMD driver
+    # (64 x 21-atom molecules in one disjoint batch per scanned segment)
+    from gcnn_keras_tpu.moldyn.trajectory import ScannedMD
+
+    systems = []
+    for s in range(64):
+        r = np.random.RandomState(100 + s)
+        p = np.stack([t, 1.5 * np.sin(t * 0.9), 1.5 * np.cos(t * 0.7)],
+                     axis=1)
+        systems.append({"node_number": r.choice([1, 6, 7, 8], size=n),
+                        "node_coordinates":
+                            (p + r.randn(n, 3) * 0.1).astype(np.float32)})
+    md = ScannedMD(model, params, dt=5e-4, segment_steps=500,
+                   max_distance=4.0, max_neighbours=25)
+    md.run_ensemble(systems, n_segments=1)  # compile + warm
+    t0 = time.perf_counter()
+    md.run_ensemble(systems, n_segments=4)
+    dt_ens = (time.perf_counter() - t0) / (4 * 500)
+    return {"atoms": n, "us_per_md_step": single,
+            "ensemble_replicas": 64,
+            "us_per_replica_step": dt_ens / 64 * 1e6}
 
 
 def bench_hdnnp4th(jax, jnp, optax):
@@ -430,6 +452,8 @@ def main():
         # path, slope method — fixed dispatch cost cancelled)
         "md_schnet_21atom": {
             "us_per_md_step": round(md["us_per_md_step"], 1),
+            "ensemble_replicas": md["ensemble_replicas"],
+            "us_per_replica_step": round(md["us_per_replica_step"], 2),
         },
     }
     print(json.dumps(record))
