@@ -1,13 +1,30 @@
 """Benchmark: edges/sec/chip on the SchNet energy+force training step,
 plus the flagship HDNNP4th energy+force+charge step and roofline counters.
 
-Prints ONE JSON line. Primary fields {"metric", "value", "unit",
-"vs_baseline"} track the SchNet step (the regression anchor BENCH_BASE);
-extra fields carry ms/step, XLA-reported bytes+FLOPs, achieved GB/s and
-TFLOP/s (roofline position), and the HDNNP4th flagship sub-record
-(edges+angles/s and the Qeq charge-solve time).
+Prints ONE JSON line, ALWAYS, within a wall-clock budget
+(GCNN_BENCH_BUDGET_S, default 460 s):
+
+- Sections run in priority order (primary SchNet step first); each section
+  is gated on the remaining budget with a conservative cold-compile cost
+  estimate and marked ``"skipped (budget)"`` if it does not fit.
+- A watchdog thread hard-emits whatever sub-records completed if the
+  deadline passes mid-compile (a cold compile cannot be interrupted from
+  Python), then exits 0 — so the driver's timeout can never produce a
+  null record again (BENCH_r03 post-mortem: rc=124, parsed=null).
+- A warm persistent compile cache (/tmp/jax_cache_tpu) makes repeat runs
+  complete every section; a cold run completes the primary record plus
+  whatever else fits.
+
+Primary fields {"metric", "value", "unit", "vs_baseline"} track the SchNet
+step (regression anchor BENCH_BASE); extra fields carry ms/step, the scan
+ground-truth time, XLA-reported bytes+FLOPs, achieved GB/s and TFLOP/s
+(roofline position), a MEASURED copy-bandwidth calibration
+(achieved_gbps_measured context), and the HDNNP4th flagship / large-mol /
+MD sub-records.
 """
 import json
+import os
+import threading
 import time
 
 import numpy as np
@@ -29,6 +46,73 @@ BENCH_BASE = 3.5e6
 # TPU v5e single-chip peaks for roofline fractions
 HBM_PEAK_GBPS = 819.0
 F32_PEAK_TFLOPS = 98.5  # v5e bf16 peak 197 TFLOP/s; f32 ~ half
+
+_T0 = time.monotonic()
+_BUDGET = float(os.environ.get("GCNN_BENCH_BUDGET_S", "460"))
+_FULL = os.environ.get("GCNN_BENCH_FULL", "") == "1"  # ignore budget gates
+_LOCK = threading.Lock()
+_PRINTED = False
+
+# The record skeleton: every section key exists up front so a watchdog
+# emission is a complete, parseable record with explicit skip markers.
+RECORD = {
+    "metric": "schnet_energy_force_train_edges_per_sec_per_chip",
+    "value": None,
+    "unit": "edges/s",
+    "vs_baseline": None,
+    "status": "started",
+    "sections": {},
+}
+
+
+def _remaining():
+    return _BUDGET - (time.monotonic() - _T0)
+
+
+def _emit_once():
+    global _PRINTED
+    with _LOCK:
+        if _PRINTED:
+            return
+        _PRINTED = True
+        print(json.dumps(RECORD), flush=True)
+
+
+def _watchdog():
+    while True:
+        left = _remaining()
+        if left <= 0:
+            break
+        time.sleep(min(left, 2.0))
+    with _LOCK:
+        if _PRINTED:
+            return
+    RECORD["status"] = "budget_exceeded (partial record; watchdog emit)"
+    _emit_once()
+    os._exit(0)
+
+
+def _mark(label):
+    """Timeline breadcrumb: survives a watchdog emit, so a cut-off run
+    still shows exactly where the budget went."""
+    RECORD.setdefault("timeline", {})[label] = round(time.monotonic() - _T0, 1)
+
+
+def _section(name, est_cost_s, fn, *args):
+    """Run one bench section if the remaining budget covers its estimated
+    cold cost; record success/skip/error without losing other sections."""
+    if not _FULL and _remaining() < est_cost_s:
+        RECORD["sections"][name] = "skipped (budget)"
+        return None
+    t0 = time.monotonic()
+    RECORD["sections"][name] = "started"
+    try:
+        out = fn(*args)
+        RECORD["sections"][name] = f"ok ({time.monotonic() - t0:.0f}s)"
+        return out
+    except Exception as e:  # a failing sub-bench must not kill the record
+        RECORD["sections"][name] = f"error: {type(e).__name__}: {e}"[:200]
+        return None
 
 
 def _mols(rs, n_mols, with_esp=False):
@@ -111,17 +195,38 @@ def bench_schnet_setup(jax, jnp, optax):
     return step, (params, opt_state, batch), n_real_edges
 
 
-def bench_schnet(jax, jnp, optax):
+def sec_schnet_step(jax, jnp, optax):
+    """PRIMARY record: the dispatch-loop SchNet E+F train step."""
     step, args, n_real_edges = bench_schnet_setup(jax, jnp, optax)
+    _mark("schnet_setup_done")
+    out = step(*args)  # compile
+    jax.block_until_ready(out)
+    _mark("schnet_compiled")
     dt, _ = _timeit(step, args, iters=50)
     flops, bytes_acc = _cost(step, *args)
+    RECORD["value"] = round(n_real_edges / dt, 1)
+    RECORD["vs_baseline"] = round(n_real_edges / dt / BENCH_BASE, 4)
+    RECORD["ms_per_step"] = round(dt * 1e3, 3)
+    # bytes/GB/s are XLA cost-analysis UPPER BOUNDS: pallas kernels get
+    # their full HBM operands re-counted per grid step, so hbm_frac can
+    # exceed 1.0; treat as relative regression signal, not absolute.
+    # achieved_gbps_measured (separate section) is the calibrated number.
+    RECORD["bytes_per_step"] = bytes_acc
+    RECORD["flops_per_step"] = flops
+    RECORD["achieved_gbps"] = round(bytes_acc / dt / 1e9, 1)
+    RECORD["achieved_tflops"] = round(flops / dt / 1e12, 2)
+    RECORD["hbm_frac"] = round(bytes_acc / dt / 1e9 / HBM_PEAK_GBPS, 3)
+    RECORD["mfu_f32"] = round(flops / dt / 1e12 / F32_PEAK_TFLOPS, 4)
+    return step, args, n_real_edges, flops
 
-    # Ground truth: K steps inside ONE jitted lax.scan — one dispatch, K
-    # sequential device executions; immune to tunnel/host dispatch artifacts
-    # in either direction (tools/scan_timing.py; r3 measured loop 10.96 ms
-    # vs scan 10.32 ms, i.e. the dispatch loop is honest to ~6% at this
-    # batch size). Params evolve through the optimizer each iteration, so
-    # XLA cannot fold the loop.
+
+def sec_schnet_scan(jax, schnet_ctx):
+    """Ground truth: K steps inside ONE jitted lax.scan — one dispatch, K
+    sequential device executions; immune to tunnel/host dispatch artifacts
+    (tools/scan_timing.py; r3 measured loop 10.96 ms vs scan 10.32 ms, i.e.
+    the dispatch loop is honest to ~6% at this batch size). Params evolve
+    through the optimizer each iteration, so XLA cannot fold the loop."""
+    step, args, n_real_edges, flops = schnet_ctx
     params, opt_state, batch = args
     k = 20
 
@@ -138,115 +243,43 @@ def bench_schnet(jax, jnp, optax):
 
     dt_scan, _ = _timeit(multi, (params, opt_state, batch), iters=3)
     dt_scan /= k
-
-    return {
-        "edges_per_sec": n_real_edges / dt,
-        "ms_per_step": dt * 1e3,
-        "ms_per_step_scan": dt_scan * 1e3,
-        "edges_per_sec_scan": n_real_edges / dt_scan,
-        "flops_per_step": flops,
-        "bytes_per_step": bytes_acc,
-        "achieved_gbps": bytes_acc / dt / 1e9,
-        "achieved_tflops": flops / dt / 1e12,
-        "hbm_frac": bytes_acc / dt / 1e9 / HBM_PEAK_GBPS,
-        # MFU from the scan ground-truth time (physical device seconds)
-        "mfu_f32": flops / dt_scan / 1e12 / F32_PEAK_TFLOPS,
-    }
+    RECORD["ms_per_step_scan"] = round(dt_scan * 1e3, 3)
+    RECORD["edges_per_sec_scan"] = round(n_real_edges / dt_scan, 1)
+    # MFU from the scan ground-truth time (physical device seconds)
+    RECORD["mfu_f32"] = round(flops / dt_scan / 1e12 / F32_PEAK_TFLOPS, 4)
 
 
-def bench_md_latency(jax, jnp):
-    """On-device MD step latency: K velocity-Verlet steps of a 21-atom
-    molecule inside ONE jitted lax.scan (the moldyn/integrate.py deployment
-    path), reported as the slope between two scan lengths so fixed
-    dispatch/transfer costs cancel. This is the latency observable MD
-    serving actually sees (the reference's ASE python-loop integrator pays
-    a host round trip EVERY step instead, kgcnn/moldyn/ase_calc.py:75)."""
-    import time
-    from functools import partial
+def sec_hbm_measured(jax, jnp):
+    """Calibrated bandwidth context (VERDICT r3 item 9): the ACHIEVED HBM
+    copy bandwidth of this chip+host (read+write of a 1 GiB array), the
+    physical yardstick the cost-analysis upper bounds should be read
+    against (method: tools/profile_hbm_traffic.py)."""
+    x = jnp.ones((256, 1024, 1024), jnp.float32)  # 1 GiB
 
-    from gcnn_keras_tpu.batch import batch_graphs
-    from gcnn_keras_tpu.graph.preprocess import set_range
-    from gcnn_keras_tpu.models.schnet import make_model
-    from gcnn_keras_tpu.moldyn.integrate import make_energy_force_fn
+    @jax.jit
+    def cp(a):
+        return a + 1.0
 
-    rs = np.random.RandomState(7)
-    n = 21
-    t = np.arange(n) * 1.2
-    pos = np.stack([t, 1.5 * np.sin(t * 0.9), 1.5 * np.cos(t * 0.7)], axis=1)
-    g = {"node_number": rs.choice([1, 6, 7, 8], size=n),
-         "node_coordinates": (pos + rs.randn(n, 3) * 0.1).astype(np.float32),
-         "energy": np.array([0.0], dtype=np.float32)}
-    g = set_range(g, max_distance=4.0, max_neighbours=25)
-    g["edge_indices"] = g.pop("range_indices")
-    batch = batch_graphs([g], global_keys=("energy",))
-
-    model = make_model()
-    params = model.init(jax.random.PRNGKey(0), batch)
-    fn = make_energy_force_fn(model, params, batch)
-    mask = batch.node_mask[:, None].astype(jnp.float32)
-    m = jnp.full((batch.n_node, 1), 12.0, jnp.float32)
-    DT = 5e-4
-
-    def body(carry, _):
-        pos, vel, force = carry
-        vel_h = vel + 0.5 * DT * force / m
-        pos_n = pos + DT * vel_h * mask
-        e, f_n = fn(pos_n)
-        f_n = f_n * mask
-        return (pos_n, vel_h + 0.5 * DT * f_n / m, f_n), e
-
-    @partial(jax.jit, static_argnums=2)
-    def run(pos, vel, k):
-        _, f0 = fn(pos)
-        (p, v, _), es = jax.lax.scan(body, (pos, vel, f0 * mask), None,
-                                     length=k)
-        return p, v, es[-1]
-
-    pos0 = batch.nodes["node_coordinates"]
-    vel0 = jnp.zeros_like(pos0)
-
-    def wall(k, reps=3):
-        out = run(pos0, vel0, k)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = run(pos0, vel0, k)
-        jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / reps
-
-    t1, t2 = wall(50), wall(400)
-    single = (t2 - t1) / 350 * 1e6
-
-    # replica-ensemble throughput through the deployable ScannedMD driver
-    # (64 x 21-atom molecules in one disjoint batch per scanned segment)
-    from gcnn_keras_tpu.moldyn.trajectory import ScannedMD
-
-    systems = []
-    for s in range(64):
-        r = np.random.RandomState(100 + s)
-        p = np.stack([t, 1.5 * np.sin(t * 0.9), 1.5 * np.cos(t * 0.7)],
-                     axis=1)
-        systems.append({"node_number": r.choice([1, 6, 7, 8], size=n),
-                        "node_coordinates":
-                            (p + r.randn(n, 3) * 0.1).astype(np.float32)})
-    md = ScannedMD(model, params, dt=5e-4, segment_steps=500,
-                   max_distance=4.0, max_neighbours=25)
-    md.run_ensemble(systems, n_segments=1)  # compile + warm
+    y = cp(x)
+    jax.block_until_ready(y)
     t0 = time.perf_counter()
-    md.run_ensemble(systems, n_segments=4)
-    dt_ens = (time.perf_counter() - t0) / (4 * 500)
-    return {"atoms": n, "us_per_md_step": single,
-            "ensemble_replicas": 64,
-            "us_per_replica_step": dt_ens / 64 * 1e6}
+    for _ in range(10):
+        y = cp(y)
+    jax.block_until_ready(y)
+    dt = (time.perf_counter() - t0) / 10
+    RECORD["copy_gbps_measured"] = round((2 * x.size * 4) / dt / 1e9, 1)
+    if "ms_per_step_scan" in RECORD and RECORD.get("bytes_per_step"):
+        # honest achieved GB/s if the step truly moved bytes_per_step
+        # (upper bound) in its ground-truth device time
+        RECORD["achieved_gbps_upper_bound_scan"] = round(
+            RECORD["bytes_per_step"] / (RECORD["ms_per_step_scan"] / 1e3)
+            / 1e9, 1)
 
 
-def bench_hdnnp4th(jax, jnp, optax):
-    """Flagship: HDNNP4th charge+energy+force train step (ACSF G2+G4,
-    Qeq solve, electrostatics, QM/MM, ESP force coupling)."""
+def _hdnnp_setup(jax, jnp, optax):
     from gcnn_keras_tpu.batch import batch_graphs
     from gcnn_keras_tpu.models.hdnnp4th import make_model_behler
     from gcnn_keras_tpu.model.force import EnergyForceModel
-    from gcnn_keras_tpu.layers.conv.hdnnp_electro import CENTCharge
     from gcnn_keras_tpu.training.losses import masked_graph_mae, masked_node_mae
 
     rs = np.random.RandomState(1)
@@ -287,11 +320,28 @@ def bench_hdnnp4th(jax, jnp, optax):
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    step = jax.jit(step_fn)
-    dt, _ = _timeit(step, (params, opt_state, batch), iters=20)
+    return step_fn, (params, opt_state, batch), n_edges, n_angles
 
-    # scan ground truth (r3: the flagship dispatch loop carries ~26%
-    # launch inflation — 13.7 ms loop vs 10.1 ms scanned)
+
+def sec_hdnnp_step(jax, jnp, optax):
+    """Flagship: HDNNP4th charge+energy+force train step (ACSF G2+G4,
+    Qeq solve, electrostatics, QM/MM, ESP force coupling)."""
+    step_fn, args, n_edges, n_angles = _hdnnp_setup(jax, jnp, optax)
+    step = jax.jit(step_fn)
+    dt, _ = _timeit(step, args, iters=20)
+    RECORD["hdnnp4th"] = {
+        "edges_per_sec": round(n_edges / dt, 1),
+        "angles_per_sec": round(n_angles / dt, 1),
+        "ms_per_step": round(dt * 1e3, 3),
+    }
+    return step_fn, args, n_edges, n_angles
+
+
+def sec_hdnnp_scan(jax, ctx):
+    """Flagship scan ground truth (r3: the dispatch loop carries ~26%
+    launch inflation — 13.7 ms loop vs 10.1 ms scanned)."""
+    step_fn, args, n_edges, n_angles = ctx
+    params, opt_state, batch = args
     k = 10
 
     @jax.jit
@@ -307,8 +357,17 @@ def bench_hdnnp4th(jax, jnp, optax):
 
     dt_scan, _ = _timeit(multi, (params, opt_state, batch), iters=2)
     dt_scan /= k
+    RECORD["hdnnp4th"]["ms_per_step_scan"] = round(dt_scan * 1e3, 3)
+    RECORD["hdnnp4th"]["edges_per_sec_scan"] = round(n_edges / dt_scan, 1)
+    RECORD["hdnnp4th"]["angles_per_sec_scan"] = round(n_angles / dt_scan, 1)
 
-    # Qeq dense charge solve alone (the reference's O(M^3) wall)
+
+def sec_hdnnp_qeq(jax, jnp, ctx):
+    """Qeq dense charge solve alone (the reference's O(M^3) wall)."""
+    from gcnn_keras_tpu.layers.conv.hdnnp_electro import CENTCharge
+
+    _, args, _, _ = ctx
+    batch = args[2]
     chi = jnp.asarray(np.random.RandomState(2).randn(batch.n_node)
                       .astype(np.float32))
     cent = CENTCharge(solver="dense")
@@ -318,18 +377,10 @@ def bench_hdnnp4th(jax, jnp, optax):
         return cent.apply({}, b, chi)
 
     qeq_dt, _ = _timeit(qeq_only, (batch, chi), iters=20)
-    return {
-        "edges_per_sec": n_edges / dt,
-        "angles_per_sec": n_angles / dt,
-        "ms_per_step": dt * 1e3,
-        "ms_per_step_scan": dt_scan * 1e3,
-        "edges_per_sec_scan": n_edges / dt_scan,
-        "angles_per_sec_scan": n_angles / dt_scan,
-        "qeq_solve_ms": qeq_dt * 1e3,
-    }
+    RECORD["hdnnp4th"]["qeq_solve_ms"] = round(qeq_dt * 1e3, 3)
 
 
-def bench_hdnnp4th_large_mol(jax, jnp, optax):
+def sec_hdnnp_large_mol(jax, jnp, optax):
     """VERDICT r2 item 4: the flagship force train step on a >=512-atom
     molecule, where solver='auto' actually selects the iterative CG Qeq
     (gradients vs the dense path are pinned by
@@ -397,66 +448,130 @@ def bench_hdnnp4th_large_mol(jax, jnp, optax):
         return params, opt_state, loss
 
     dt, _ = _timeit(step, (params, opt_state, batch), iters=10)
-    return {"atoms": n, "edges_per_sec": n_edges / dt,
-            "angles_per_sec": n_angles / dt, "ms_per_step": dt * 1e3,
-            "qeq": "iterative_cg"}
+    RECORD["hdnnp4th_large_mol"] = {
+        "atoms": n, "edges_per_sec": round(n_edges / dt, 1),
+        "angles_per_sec": round(n_angles / dt, 1),
+        "ms_per_step": round(dt * 1e3, 3), "qeq": "iterative_cg"}
+
+
+def _md_system(rs, n, t, seed_offset=0):
+    pos = np.stack([t, 1.5 * np.sin(t * 0.9), 1.5 * np.cos(t * 0.7)], axis=1)
+    return {"node_number": rs.choice([1, 6, 7, 8], size=n),
+            "node_coordinates": (pos + rs.randn(n, 3) * 0.1).astype(np.float32)}
+
+
+def sec_md_single(jax, jnp):
+    """On-device MD step latency: K velocity-Verlet steps of a 21-atom
+    molecule inside ONE jitted lax.scan (the moldyn/integrate.py deployment
+    path), reported as the slope between two scan lengths so fixed
+    dispatch/transfer costs cancel. This is the latency observable MD
+    serving actually sees (the reference's ASE python-loop integrator pays
+    a host round trip EVERY step instead, kgcnn/moldyn/ase_calc.py:75)."""
+    from functools import partial
+
+    from gcnn_keras_tpu.batch import batch_graphs
+    from gcnn_keras_tpu.graph.preprocess import set_range
+    from gcnn_keras_tpu.models.schnet import make_model
+    from gcnn_keras_tpu.moldyn.integrate import make_energy_force_fn
+
+    rs = np.random.RandomState(7)
+    n = 21
+    t = np.arange(n) * 1.2
+    g = _md_system(rs, n, t)
+    g["energy"] = np.array([0.0], dtype=np.float32)
+    g = set_range(g, max_distance=4.0, max_neighbours=25)
+    g["edge_indices"] = g.pop("range_indices")
+    batch = batch_graphs([g], global_keys=("energy",))
+
+    model = make_model()
+    params = model.init(jax.random.PRNGKey(0), batch)
+    fn = make_energy_force_fn(model, params, batch)
+    mask = batch.node_mask[:, None].astype(jnp.float32)
+    m = jnp.full((batch.n_node, 1), 12.0, jnp.float32)
+    DT = 5e-4
+
+    def body(carry, _):
+        pos, vel, force = carry
+        vel_h = vel + 0.5 * DT * force / m
+        pos_n = pos + DT * vel_h * mask
+        e, f_n = fn(pos_n)
+        f_n = f_n * mask
+        return (pos_n, vel_h + 0.5 * DT * f_n / m, f_n), e
+
+    @partial(jax.jit, static_argnums=2)
+    def run(pos, vel, k):
+        _, f0 = fn(pos)
+        (p, v, _), es = jax.lax.scan(body, (pos, vel, f0 * mask), None,
+                                     length=k)
+        return p, v, es[-1]
+
+    pos0 = batch.nodes["node_coordinates"]
+    vel0 = jnp.zeros_like(pos0)
+
+    def wall(k, reps=3):
+        out = run(pos0, vel0, k)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = run(pos0, vel0, k)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / reps
+
+    t1, t2 = wall(50), wall(400)
+    RECORD["md_schnet_21atom"] = {
+        "atoms": n, "us_per_md_step": round((t2 - t1) / 350 * 1e6, 1)}
+    return model, params, n, t
+
+
+def sec_md_ensemble(jax, md_ctx):
+    """Replica-ensemble throughput through the deployable ScannedMD driver
+    (64 x 21-atom molecules in one disjoint batch per scanned segment)."""
+    from gcnn_keras_tpu.moldyn.trajectory import ScannedMD
+
+    model, params, n, t = md_ctx
+    systems = [_md_system(np.random.RandomState(100 + s), n, t)
+               for s in range(64)]
+    md = ScannedMD(model, params, dt=5e-4, segment_steps=500,
+                   max_distance=4.0, max_neighbours=25)
+    md.run_ensemble(systems, n_segments=1)  # compile + warm
+    t0 = time.perf_counter()
+    md.run_ensemble(systems, n_segments=4)
+    dt_ens = (time.perf_counter() - t0) / (4 * 500)
+    RECORD["md_schnet_21atom"]["ensemble_replicas"] = 64
+    RECORD["md_schnet_21atom"]["us_per_replica_step"] = round(
+        dt_ens / 64 * 1e6, 2)
 
 
 def main():
+    threading.Thread(target=_watchdog, daemon=True).start()
     import jax
     # persistent compile cache: repeat bench runs skip the ~4 min compile
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import optax
+    jax.devices()  # force backend/tunnel init so the mark is honest
+    _mark("jax_ready")
 
-    schnet = bench_schnet(jax, jnp, optax)
-    hdnnp = bench_hdnnp4th(jax, jnp, optax)
-    hdnnp_large = bench_hdnnp4th_large_mol(jax, jnp, optax)
-    md = bench_md_latency(jax, jnp)
+    # Priority order; est_cost_s are conservative COLD-compile costs
+    # through the tunneled v5e (warm cache: each runs in seconds).
+    schnet_ctx = _section("schnet_step", 0, sec_schnet_step, jax, jnp, optax)
+    if schnet_ctx is not None:
+        _section("schnet_scan", 120, sec_schnet_scan, jax, schnet_ctx)
+    _section("hbm_measured", 15, sec_hbm_measured, jax, jnp)
+    hdnnp_ctx = _section("hdnnp_step", 150, sec_hdnnp_step, jax, jnp, optax)
+    if hdnnp_ctx is not None:
+        _section("hdnnp_scan", 110, sec_hdnnp_scan, jax, hdnnp_ctx)
+        _section("hdnnp_qeq", 40, sec_hdnnp_qeq, jax, jnp, hdnnp_ctx)
+    md_ctx = _section("md_single", 130, sec_md_single, jax, jnp)
+    if md_ctx is not None:
+        _section("md_ensemble", 110, sec_md_ensemble, jax, md_ctx)
+    _section("hdnnp_large_mol", 130, sec_hdnnp_large_mol, jax, jnp, optax)
 
-    record = {
-        "metric": "schnet_energy_force_train_edges_per_sec_per_chip",
-        "value": round(schnet["edges_per_sec"], 1),
-        "unit": "edges/s",
-        "vs_baseline": round(schnet["edges_per_sec"] / BENCH_BASE, 4),
-        "ms_per_step": round(schnet["ms_per_step"], 3),
-        # scan ground truth: K steps in ONE jitted lax.scan (no dispatch)
-        "ms_per_step_scan": round(schnet["ms_per_step_scan"], 3),
-        "edges_per_sec_scan": round(schnet["edges_per_sec_scan"], 1),
-        # bytes/GB/s are XLA cost-analysis UPPER BOUNDS: pallas kernels get
-        # their full HBM operands re-counted per grid step, so hbm_frac can
-        # exceed 1.0; treat as relative regression signal, not absolute
-        "bytes_per_step": schnet["bytes_per_step"],
-        "achieved_gbps": round(schnet["achieved_gbps"], 1),
-        "achieved_tflops": round(schnet["achieved_tflops"], 2),
-        "hbm_frac": round(schnet["hbm_frac"], 3),
-        "mfu_f32": round(schnet["mfu_f32"], 4),
-        "hdnnp4th": {
-            "edges_per_sec": round(hdnnp["edges_per_sec"], 1),
-            "angles_per_sec": round(hdnnp["angles_per_sec"], 1),
-            "ms_per_step": round(hdnnp["ms_per_step"], 3),
-            "ms_per_step_scan": round(hdnnp["ms_per_step_scan"], 3),
-            "edges_per_sec_scan": round(hdnnp["edges_per_sec_scan"], 1),
-            "angles_per_sec_scan": round(hdnnp["angles_per_sec_scan"], 1),
-            "qeq_solve_ms": round(hdnnp["qeq_solve_ms"], 3),
-        },
-        "hdnnp4th_large_mol": {
-            "atoms": hdnnp_large["atoms"],
-            "edges_per_sec": round(hdnnp_large["edges_per_sec"], 1),
-            "angles_per_sec": round(hdnnp_large["angles_per_sec"], 1),
-            "ms_per_step": round(hdnnp_large["ms_per_step"], 3),
-            "qeq": hdnnp_large["qeq"],
-        },
-        # scanned-integrator MD latency (moldyn/integrate.py deployment
-        # path, slope method — fixed dispatch cost cancelled)
-        "md_schnet_21atom": {
-            "us_per_md_step": round(md["us_per_md_step"], 1),
-            "ensemble_replicas": md["ensemble_replicas"],
-            "us_per_replica_step": round(md["us_per_replica_step"], 2),
-        },
-    }
-    print(json.dumps(record))
+    RECORD["status"] = "complete" if all(
+        v == "ok" for v in RECORD["sections"].values()) else "partial"
+    RECORD["elapsed_s"] = round(time.monotonic() - _T0, 1)
+    _emit_once()
 
 
 if __name__ == "__main__":

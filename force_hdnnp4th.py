@@ -26,6 +26,12 @@ CONFIG = {
     "ensemble_size": 3,
     "seed": 42,
     "steps_per_dispatch": 1,  # fuse K optimizer steps per jitted dispatch (PERF.md r3)
+    # reference force_hdnnp4th.py:284-295: EarlyStopping patience
+    # (0 = off, restore_best_weights on stop), optional wandb, plots
+    "early_stopping": 0,
+    "use_wandb": False,
+    "wandb_project": "gcnn_keras_tpu",
+    "make_plots": True,
     "elements": [1, 6, 16],
     "g2": {"eta": [0.0, 0.3], "rs": [0.0, 3.0], "rc": 10.0},
     "g4": {"eta": [0.0, 0.3], "lamda": [-1.0, 1.0], "zeta": [1.0, 8.0], "rc": 6.0},
@@ -135,29 +141,41 @@ def main():
                 {"charge_mae": lq, "energy_mae": le, "force_mae": lf}
 
         from gcnn_keras_tpu.training.trainer import Trainer
+        from gcnn_keras_tpu.training.fit import fit_model
         trainer = Trainer(loss_fn, optimizer)
         state = trainer.init_state(params)
 
         val_batch = val.to_batch(global_keys=("energy", "total_charge"))
-        hist = {"loss": [], "val_force_mae": [], "val_energy_mae": [],
-                "val_charge_mae": []}
+
+        def eval_fn(p):
+            vout = fmodel.apply(p, val_batch, train=False)
+            lq = float(masked_node_mae(vout["charge"],
+                                       val_batch.nodes["charge"],
+                                       val_batch.node_mask))
+            le = float(masked_graph_mae(vout["energy"],
+                                        val_batch.globals["energy"],
+                                        val_batch.globals["graph_mask"]))
+            lf = float(masked_node_mae(vout["force"],
+                                       val_batch.nodes["force"],
+                                       val_batch.node_mask))
+            return {"val_loss": wq * lq + we * le + wf * lf,
+                    "val_charge_mae": lq, "val_energy_mae": le,
+                    "val_force_mae": lf}
+
+        if cfg["use_wandb"]:
+            from gcnn_keras_tpu.utils.wandb_wizard import (init_wandb,
+                                                           finish_wandb)
+            init_wandb(cfg["wandb_project"], name=f"hdnnp4th_fold{fold}",
+                       config=cfg)
         t0 = time.process_time()
-        for epoch in range(cfg["epochs"]):
-            state, em = trainer.fit_epoch(
-                state, loader,
-                steps_per_dispatch=cfg.get("steps_per_dispatch", 1))
-            params, opt_state = state.params, state.opt_state
-            losses = [em.get("loss", float("nan"))]
-            vout = fmodel.apply(params, val_batch, train=False)
-            hist["loss"].append(float(np.mean(losses)))
-            hist["val_energy_mae"].append(float(masked_graph_mae(
-                vout["energy"], val_batch.globals["energy"],
-                val_batch.globals["graph_mask"])))
-            hist["val_force_mae"].append(float(masked_node_mae(
-                vout["force"], val_batch.nodes["force"], val_batch.node_mask)))
-            hist["val_charge_mae"].append(float(masked_node_mae(
-                vout["charge"], val_batch.nodes["charge"], val_batch.node_mask)))
+        state, hist = fit_model(
+            trainer, state, loader, eval_fn, cfg["epochs"],
+            steps_per_dispatch=cfg.get("steps_per_dispatch", 1),
+            early_stopping=cfg.get("early_stopping", 0), fold=fold)
         times.append(time.process_time() - t0)
+        if cfg["use_wandb"]:
+            finish_wandb()
+        params, opt_state = state.params, state.opt_state
         histories.append(hist)
 
         outdir = f"{cfg['model_prefix']}_{fold}"
@@ -166,6 +184,33 @@ def main():
         print(f"fold {fold}: loss={hist['loss'][-1]:.4f} "
               f"val_F_mae={hist['val_force_mae'][-1]:.4f} -> {outdir}")
 
+        if cfg["make_plots"]:
+            # per-fold predict-vs-true on the TEST split (reference
+            # training/train_force.py:224-231 post-fit block)
+            from gcnn_keras_tpu.utils.plots import plot_predict_true
+            test_batch = test.to_batch(global_keys=("energy", "total_charge"))
+            tout = fmodel.apply(params, test_batch, train=False)
+            gm = np.asarray(test_batch.globals["graph_mask"], bool)
+            nm = np.asarray(test_batch.node_mask, bool)
+            plot_predict_true(
+                np.asarray(tout["energy"]).reshape(-1)[gm.reshape(-1)],
+                np.asarray(test_batch.globals["energy"]).reshape(-1)[gm.reshape(-1)],
+                model_name="HDNNP4th", dataset_name="force",
+                target_names="energy", filepath=outdir,
+                file_name="predict_energy.png")
+            plot_predict_true(
+                np.asarray(tout["force"])[nm],
+                np.asarray(test_batch.nodes["force"])[nm],
+                model_name="HDNNP4th", dataset_name="force",
+                target_names="force", filepath=outdir,
+                file_name="predict_force.png")
+
+    if cfg["make_plots"]:
+        from gcnn_keras_tpu.utils.plots import plot_train_test_loss
+        plot_train_test_loss(histories, loss_name="loss",
+                             val_loss_name="val_loss",
+                             model_name="HDNNP4th", dataset_name="force",
+                             filepath="results", file_name="hdnnp4th_loss.png")
     score = save_history_score(histories, "results/hdnnp4th_score.yaml",
                                model_name="HDNNP4th", dataset_name="force",
                                seed=cfg["seed"], time_list=times)

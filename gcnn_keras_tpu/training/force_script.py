@@ -40,6 +40,15 @@ DEFAULTS = {
     # runtime and shards the dataset per host.
     "n_devices": 0,
     "distributed": False,
+    # fuse K optimizer steps per jitted dispatch (PERF.md r3, 2.65x)
+    "steps_per_dispatch": 1,
+    # reference force_hdnnp4th.py:284-295 training conveniences:
+    # EarlyStopping patience (0 = off; restore_best_weights on stop),
+    # optional wandb run, per-fold predict-vs-true + loss-curve PNGs
+    "early_stopping": 0,
+    "use_wandb": False,
+    "wandb_project": "gcnn_keras_tpu",
+    "make_plots": True,
 }
 
 
@@ -151,9 +160,9 @@ def run_force_training(build_model: Callable[[Dict], object], cfg: Dict) -> Dict
             return loss, metrics
 
         from .trainer import Trainer
+        from .fit import fit_model
         trainer = Trainer(loss_fn, optimizer, mesh=mesh)
         state = trainer.init_state(params)
-        step = trainer.step_fn()
 
         def epoch_batches():
             if mesh is None:
@@ -162,31 +171,85 @@ def run_force_training(build_model: Callable[[Dict], object], cfg: Dict) -> Dict
             return dp_batch_iterator(loader, mesh)
 
         val_batch = val.to_batch(global_keys=tuple(global_keys))
-        hist = {"loss": [], "val_force_mae": [], "val_energy_mae": []}
+
+        def eval_fn(p):
+            vout = fmodel.apply(p, val_batch, train=False)
+            out = {}
+            vloss = 0.0
+            le = float(masked_graph_mae(vout["energy"],
+                                        val_batch.globals["energy"],
+                                        val_batch.globals["graph_mask"]))
+            out["val_energy_mae"] = le
+            vloss += w["energy"] * le
+            if "force" in vout and w["force"] > 0:
+                lf = float(masked_node_mae(vout["force"],
+                                           val_batch.nodes["force"],
+                                           val_batch.node_mask))
+                out["val_force_mae"] = lf
+                vloss += w["force"] * lf
+            if w["charge"] > 0 and "charge" in vout \
+                    and "charge" in val_batch.nodes:
+                lq = float(masked_node_mae(vout["charge"],
+                                           val_batch.nodes["charge"],
+                                           val_batch.node_mask))
+                out["val_charge_mae"] = lq
+                vloss += w["charge"] * lq
+            out["val_loss"] = vloss
+            return out
+
+        if cfg["use_wandb"]:
+            from ..utils.wandb_wizard import init_wandb
+            init_wandb(cfg["wandb_project"],
+                       name=f"{cfg['model_prefix']}_fold{fold}", config=cfg)
         t0 = time.process_time()
         print(f"fold {fold}: compiling + training {cfg['epochs']} epochs...",
               flush=True)
-        for epoch in range(cfg["epochs"]):
-            losses = []
-            for b in epoch_batches():
-                state, m = step(state, b)
-                losses.append(float(m["loss"]))
-            params, opt_state = state.params, state.opt_state
-            vout = fmodel.apply(params, val_batch, train=False)
-            hist["loss"].append(float(np.mean(losses)))
-            hist["val_energy_mae"].append(float(masked_graph_mae(
-                vout["energy"], val_batch.globals["energy"],
-                val_batch.globals["graph_mask"])))
-            if "force" in vout:
-                hist["val_force_mae"].append(float(masked_node_mae(
-                    vout["force"], val_batch.nodes["force"], val_batch.node_mask)))
+        state, hist = fit_model(
+            trainer, state, epoch_batches, eval_fn, cfg["epochs"],
+            steps_per_dispatch=cfg.get("steps_per_dispatch", 1),
+            early_stopping=cfg.get("early_stopping", 0), fold=fold)
         times.append(time.process_time() - t0)
+        if cfg["use_wandb"]:
+            from ..utils.wandb_wizard import finish_wandb
+            finish_wandb()
+        params, opt_state = state.params, state.opt_state
         histories.append(hist)
         outdir = f"{cfg['model_prefix']}_{fold}"
         save_checkpoint(outdir, params, opt_state=opt_state, step=cfg["epochs"])
         scaler.save(os.path.join(outdir, "scaler.json"))
         print(f"fold {fold}: loss={hist['loss'][-1]:.4f} -> {outdir}")
 
+        if cfg["make_plots"]:
+            # per-fold test-split predict-vs-true PNGs (reference
+            # training/train_force.py post-fit block)
+            from ..utils.plots import plot_predict_true
+            test = ds[te]
+            scaler.transform_dataset(test)
+            test_batch = test.to_batch(global_keys=tuple(global_keys))
+            tout = fmodel.apply(params, test_batch, train=False)
+            gm = np.asarray(test_batch.globals["graph_mask"], bool).reshape(-1)
+            nm = np.asarray(test_batch.node_mask, bool)
+            plot_predict_true(
+                np.asarray(tout["energy"]).reshape(-1)[gm],
+                np.asarray(test_batch.globals["energy"]).reshape(-1)[gm],
+                model_name=cfg["model_prefix"], dataset_name="force",
+                target_names="energy", filepath=outdir,
+                file_name="predict_energy.png")
+            if "force" in tout:
+                plot_predict_true(
+                    np.asarray(tout["force"])[nm],
+                    np.asarray(test_batch.nodes["force"])[nm],
+                    model_name=cfg["model_prefix"], dataset_name="force",
+                    target_names="force", filepath=outdir,
+                    file_name="predict_force.png")
+
+    if cfg["make_plots"]:
+        from ..utils.plots import plot_train_test_loss
+        plot_train_test_loss(histories, loss_name="loss",
+                             val_loss_name="val_loss",
+                             model_name=cfg["model_prefix"],
+                             dataset_name="force", filepath="results",
+                             file_name=f"{cfg['model_prefix']}_loss.png")
     score = save_history_score(
         histories, f"results/{cfg['model_prefix']}_score.yaml",
         model_name=cfg["model_prefix"], dataset_name=cfg.get("data_path") or "synthetic",

@@ -248,3 +248,54 @@ def test_fit_epoch_fused_dispatch_matches_sequential():
                         s1.params, s3.params)
     assert max(jax.tree.leaves(diff)) < 1e-6
     assert abs(m1["loss"] - m3["loss"]) < 1e-6
+
+
+def test_fit_model_early_stopping_restores_best_weights():
+    """fit_model must stop after `patience` non-improving epochs and restore
+    the params snapshot from the BEST epoch (keras EarlyStopping
+    restore_best_weights parity — reference force_hdnnp4th.py:284-291)."""
+    from gcnn_keras_tpu.training.trainer import Trainer
+    from gcnn_keras_tpu.training.fit import fit_model
+    from gcnn_keras_tpu.models.schnet import make_model
+
+    model = make_model(depth=1, interaction_args={"units": 8},
+                       gauss_args={"bins": 8, "distance_max": 5.0},
+                       last_mlp={"units": [8], "activation": ["shifted_softplus"]},
+                       output_mlp={"units": [1], "activation": ["linear"]})
+    batch = batch_graphs(_qm_like_dataset(n_mols=3, seed=0),
+                         n_node_pad=64, n_edge_pad=512, max_nodes=12,
+                         global_keys=("energy",))
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    def loss_fn(p, b):
+        out = model.apply(p, b)["output"]
+        return masked_graph_mae(out, b.globals["energy"],
+                                b.globals["graph_mask"]), {}
+
+    trainer = Trainer(loss_fn, optax.adam(1e-2))
+    state = trainer.init_state(params)
+
+    # scripted validation: best at epoch 2, then flat -> patience=2 stops
+    # after epoch 4; params of epoch 2 must come back
+    seq = [1.0, 0.8, 0.5, 0.9, 0.9, 0.9, 0.9, 0.9, 0.9, 0.9]
+    snapshots, calls = [], {"n": 0}
+
+    def eval_fn(p):
+        snapshots.append(jax.tree.map(np.asarray, p))
+        v = seq[calls["n"]]
+        calls["n"] += 1
+        return {"val_loss": v}
+
+    state, hist = fit_model(trainer, state, [batch], eval_fn, epochs=10,
+                            early_stopping=2, verbose_every=0)
+    assert len(hist["val_loss"]) == 5  # epochs 0..4 ran, then stop
+    best = snapshots[2]
+    diff = jax.tree.map(
+        lambda a, b: float(np.max(np.abs(np.asarray(a) - b))),
+        state.params, best)
+    assert max(jax.tree.leaves(diff)) == 0.0
+    # without early stopping, params keep evolving: last snapshot differs
+    last = snapshots[-1]
+    diff_last = jax.tree.map(
+        lambda a, b: float(np.max(np.abs(np.asarray(a) - b))), last, best)
+    assert max(jax.tree.leaves(diff_last)) > 0.0

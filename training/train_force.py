@@ -41,6 +41,17 @@ def main():
                     help="join a multi-host jax.distributed runtime "
                          "(coordinates from JAX_COORDINATOR_ADDRESS etc.) "
                          "with per-host data sharding")
+    ap.add_argument("--early-stopping", type=int, default=0,
+                    help="EarlyStopping patience in epochs (0 = off); best "
+                         "weights restored on stop, keras parity "
+                         "(reference force_hdnnp4th.py:284-291)")
+    ap.add_argument("--use-wandb", action="store_true",
+                    help="log per-epoch metrics to wandb (no-op if the "
+                         "wandb package is unavailable)")
+    ap.add_argument("--plots", dest="plots", action="store_true", default=True)
+    ap.add_argument("--no-plots", dest="plots", action="store_false",
+                    help="skip predict-vs-true + loss-curve PNGs "
+                         "(reference training/train_force.py post-fit block)")
     args = ap.parse_args()
 
     import jax
@@ -143,6 +154,13 @@ def main():
                         step=args.epochs)
         scaler.save(f"{args.checkpoint_dir}/scaler.json")
 
+    if args.plots:
+        from gcnn_keras_tpu.utils.plots import plot_train_test_loss
+        plot_train_test_loss(histories, loss_name="loss",
+                             val_loss_name="val_loss", model_name=args.model,
+                             dataset_name="SyntheticMD",
+                             filepath="results/force",
+                             file_name=f"{args.model}_loss.png")
     scale = float(scaler.scale_[0])
     score = save_history_score(
         histories, f"results/force/{args.model}_score.yaml",
@@ -193,6 +211,7 @@ def _run_fold(args, ds, train_idx, test_idx, energy_model, optimizer, mesh,
             {"energy_mae": e_loss, "force_mae": f_loss}
 
     from gcnn_keras_tpu.training.trainer import Trainer
+    from gcnn_keras_tpu.training.fit import fit_model
     trainer = Trainer(loss_fn, optimizer, mesh=mesh)
     state = trainer.init_state(params)
 
@@ -204,31 +223,56 @@ def _run_fold(args, ds, train_idx, test_idx, energy_model, optimizer, mesh,
 
     test_batch = test.to_batch(global_keys=("energy",),
                                **extra_batch_kwargs)
-    hist = {"loss": [], "val_energy_mae": [], "val_force_mae": []}
-    t0 = time.perf_counter()
-    for epoch in range(args.epochs):
-        state, em = trainer.fit_epoch(
-            state, epoch_batches(),
-            steps_per_dispatch=args.steps_per_dispatch)
-        if "loss" not in em:
-            raise RuntimeError(
-                "epoch produced no training steps — with --n-devices the "
-                "loader must yield at least n_devices same-shape batches "
-                "per epoch (raise --frames or lower --batch-size)")
-        losses = [em["loss"]]
-        params = state.params
-        out = fmodel.apply(params, test_batch)
+
+    def eval_fn(p):
+        out = fmodel.apply(p, test_batch)
         ve = float(masked_graph_mae(out["energy"], test_batch.globals["energy"],
                                     test_batch.globals["graph_mask"]))
         vf = float(masked_node_mae(out["force"], test_batch.nodes["force"],
                                    test_batch.node_mask))
-        hist["loss"].append(float(np.mean(losses)))
-        hist["val_energy_mae"].append(ve)
-        hist["val_force_mae"].append(vf)
-        if epoch % 10 == 0 or epoch == args.epochs - 1:
-            print(f"fold {fold} epoch {epoch}: loss={hist['loss'][-1]:.4f} "
-                  f"val_E_mae={ve:.4f} val_F_mae={vf:.4f}")
+        return {"val_loss": args.energy_weight * ve + args.force_weight * vf,
+                "val_energy_mae": ve, "val_force_mae": vf}
+
+    if args.use_wandb:
+        from gcnn_keras_tpu.utils.wandb_wizard import init_wandb
+        init_wandb("gcnn_keras_tpu", name=f"{args.model}_fold{fold}",
+                   config=vars(args))
+    t0 = time.perf_counter()
+    state, hist = fit_model(trainer, state, epoch_batches, eval_fn,
+                            args.epochs,
+                            steps_per_dispatch=args.steps_per_dispatch,
+                            early_stopping=args.early_stopping, fold=fold)
     elapsed = time.perf_counter() - t0
+    if args.use_wandb:
+        from gcnn_keras_tpu.utils.wandb_wizard import finish_wandb
+        finish_wandb()
+    if "loss" not in hist:
+        raise RuntimeError(
+            "epoch produced no training steps — with --n-devices the "
+            "loader must yield at least n_devices same-shape batches "
+            "per epoch (raise --frames or lower --batch-size)")
+    params = state.params
+
+    if args.plots:
+        # per-fold predict-vs-true on the held-out fold (reference
+        # training/train_force.py:224-231) + per-fold loss curve
+        from gcnn_keras_tpu.utils.plots import plot_predict_true
+        out = fmodel.apply(params, test_batch)
+        gm = np.asarray(test_batch.globals["graph_mask"], bool).reshape(-1)
+        nm = np.asarray(test_batch.node_mask, bool)
+        pdir = f"results/force/{args.model}_fold{fold}"
+        plot_predict_true(
+            np.asarray(out["energy"]).reshape(-1)[gm],
+            np.asarray(test_batch.globals["energy"]).reshape(-1)[gm],
+            model_name=args.model, dataset_name="SyntheticMD",
+            target_names="energy", filepath=pdir,
+            file_name="predict_energy.png")
+        plot_predict_true(
+            np.asarray(out["force"])[nm],
+            np.asarray(test_batch.nodes["force"])[nm],
+            model_name=args.model, dataset_name="SyntheticMD",
+            target_names="force", filepath=pdir,
+            file_name="predict_force.png")
     return hist, elapsed, params, state, scaler
 
 
