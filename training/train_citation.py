@@ -25,6 +25,11 @@ def main():
     ap.add_argument("--folds", type=int, default=5)
     ap.add_argument("--nodes", type=int, default=500)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--early-stopping", type=int, default=0,
+                    help="EarlyStopping patience on val accuracy (0 = off); "
+                         "restores best weights on stop (keras parity)")
+    ap.add_argument("--plots", dest="plots", action="store_true", default=True)
+    ap.add_argument("--no-plots", dest="plots", action="store_false")
     args = ap.parse_args()
 
     import jax
@@ -91,19 +96,38 @@ def main():
             updates, s = optimizer.update(grads, s, p)
             return optax.apply_updates(p, updates), s, l, out
 
+        from gcnn_keras_tpu.training.callbacks import EarlyStopping
+        stopper = EarlyStopping(monitor="val_categorical_accuracy",
+                                patience=args.early_stopping, mode="max") \
+            if args.early_stopping > 0 else None
         t0 = time.perf_counter()
         hist = {"loss": [], "val_categorical_accuracy": []}
         for epoch in range(args.epochs):
             params, opt_state, loss, out = step(params, opt_state)
-            if epoch % 10 == 9 or epoch == args.epochs - 1:
+            if stopper is not None or epoch % 10 == 9 \
+                    or epoch == args.epochs - 1:
                 acc = float(masked_accuracy(out, y, test_mask_j))
                 hist["loss"].append(float(loss))
                 hist["val_categorical_accuracy"].append(acc)
+                if stopper is not None and stopper.update(
+                        epoch, {"val_categorical_accuracy": acc}, params):
+                    params = jax.tree.map(jnp.asarray,
+                                          stopper.restore(params))
+                    print(f"fold {fold_i}: early stopping at epoch {epoch}")
+                    break
         times.append(time.perf_counter() - t0)
         histories.append(hist)
         print(f"fold {fold_i}: loss={hist['loss'][-1]:.4f} "
               f"val_acc={hist['val_categorical_accuracy'][-1]:.4f}")
 
+    if args.plots:
+        from gcnn_keras_tpu.utils.plots import plot_train_test_loss
+        plot_train_test_loss(histories, loss_name="loss",
+                             val_loss_name="val_categorical_accuracy",
+                             model_name=args.model,
+                             dataset_name="SyntheticCitation",
+                             filepath="results/citation",
+                             file_name=f"{args.model}_loss.png")
     score = save_history_score(
         histories, f"results/citation/{args.model}_score.yaml",
         model_name=args.model, dataset_name="SyntheticCitation",

@@ -48,6 +48,12 @@ def main():
     ap.add_argument("--folds", type=int, default=1,
                     help="k-fold cross-validation like the reference's "
                          "5-fold (1 = single 80/20 split)")
+    ap.add_argument("--early-stopping", type=int, default=0,
+                    help="EarlyStopping patience (0 = off); restores best "
+                         "weights on stop (keras parity)")
+    ap.add_argument("--use-wandb", action="store_true")
+    ap.add_argument("--plots", dest="plots", action="store_true", default=True)
+    ap.add_argument("--no-plots", dest="plots", action="store_false")
     args = ap.parse_args()
 
     import jax
@@ -102,25 +108,50 @@ def main():
                             train=False)
         state = trainer.init_state(params)
         test_batch = test.to_batch(global_keys=("graph_labels",))
-        hist = {"loss": [], "val_mae": []}
-        t0 = time.perf_counter()
-        for epoch in range(args.epochs):
-            state, em = trainer.fit_epoch(
-                state, loader, steps_per_dispatch=args.steps_per_dispatch)
-            params = state.params
-            losses = [em.get("loss", float("nan"))]
-            out = model.apply(params, test_batch, train=False)["output"]
+
+        def eval_fn(p):
+            out = model.apply(p, test_batch, train=False)["output"]
             vm = float(masked_graph_mae(out,
                                         test_batch.globals["graph_labels"],
                                         test_batch.globals["graph_mask"]))
-            hist["loss"].append(float(np.mean(losses)))
-            hist["val_mae"].append(vm)
-            if epoch % 10 == 0 or epoch == args.epochs - 1:
-                print(f"fold {fold} epoch {epoch}: "
-                      f"loss={hist['loss'][-1]:.4f} val_mae={vm:.4f}")
+            return {"val_loss": vm, "val_mae": vm}
+
+        from gcnn_keras_tpu.training.fit import fit_model
+        if args.use_wandb:
+            from gcnn_keras_tpu.utils.wandb_wizard import init_wandb
+            init_wandb("gcnn_keras_tpu",
+                       name=f"crystal_{args.model}_fold{fold}",
+                       config=vars(args))
+        t0 = time.perf_counter()
+        state, hist = fit_model(trainer, state, loader, eval_fn, args.epochs,
+                                steps_per_dispatch=args.steps_per_dispatch,
+                                early_stopping=args.early_stopping, fold=fold)
         times.append(time.perf_counter() - t0)
+        if args.use_wandb:
+            from gcnn_keras_tpu.utils.wandb_wizard import finish_wandb
+            finish_wandb()
+        params = state.params
         hists.append(hist)
 
+        if args.plots:
+            from gcnn_keras_tpu.utils.plots import plot_predict_true
+            out = model.apply(params, test_batch, train=False)["output"]
+            gm = np.asarray(test_batch.globals["graph_mask"], bool).reshape(-1)
+            plot_predict_true(
+                np.asarray(out).reshape(-1)[gm],
+                np.asarray(test_batch.globals["graph_labels"]).reshape(-1)[gm],
+                model_name=args.model, dataset_name="SyntheticCrystal",
+                target_names="graph_labels",
+                filepath=f"results/crystal/{args.model}_fold{fold}",
+                file_name="predict.png")
+
+    if args.plots:
+        from gcnn_keras_tpu.utils.plots import plot_train_test_loss
+        plot_train_test_loss(hists, loss_name="loss", val_loss_name="val_loss",
+                             model_name=args.model,
+                             dataset_name="SyntheticCrystal",
+                             filepath="results/crystal",
+                             file_name=f"{args.model}_loss.png")
     score = save_history_score(hists, f"results/crystal/{args.model}_score.yaml",
                                model_name=args.model,
                                dataset_name="SyntheticCrystal",

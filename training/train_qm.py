@@ -26,6 +26,12 @@ def main():
                     help="fuse K same-shape optimizer steps into one "
                          "jitted dispatch (2.65x measured on the tunneled "
                          "chip; see PERF.md r3)")
+    ap.add_argument("--early-stopping", type=int, default=0,
+                    help="EarlyStopping patience (0 = off); restores best "
+                         "weights on stop (keras parity)")
+    ap.add_argument("--use-wandb", action="store_true")
+    ap.add_argument("--plots", dest="plots", action="store_true", default=True)
+    ap.add_argument("--no-plots", dest="plots", action="store_false")
     args = ap.parse_args()
 
     import jax
@@ -106,27 +112,54 @@ def main():
                                     b.globals["graph_mask"]), {}
 
         from gcnn_keras_tpu.training.trainer import Trainer
+        from gcnn_keras_tpu.training.fit import fit_model
         trainer = Trainer(loss_fn, optimizer)
         state = trainer.init_state(params)
 
         test_batch = test.to_batch(global_keys=("graph_labels",))
-        hist = {"loss": [], "val_scaled_mae": []}
-        t0 = time.perf_counter()
-        for epoch in range(args.epochs):
-            state, em = trainer.fit_epoch(
-                state, loader,
-                steps_per_dispatch=getattr(args, "steps_per_dispatch", 1))
-            params = state.params
-            losses = [em.get("loss", float("nan"))]
-            out = model.apply(params, test_batch)["output"]
+        scale = float(scaler.get_scaling()[0])
+
+        def eval_fn(p):
+            out = model.apply(p, test_batch)["output"]
             vm = float(masked_graph_mae(out, test_batch.globals["graph_labels"],
                                         test_batch.globals["graph_mask"]))
-            hist["loss"].append(float(np.mean(losses)))
-            hist["val_scaled_mae"].append(vm * float(scaler.get_scaling()[0]))
+            return {"val_loss": vm, "val_scaled_mae": vm * scale}
+
+        if args.use_wandb:
+            from gcnn_keras_tpu.utils.wandb_wizard import init_wandb
+            init_wandb("gcnn_keras_tpu", name=f"qm_{args.model}_fold{fold}",
+                       config=vars(args))
+        t0 = time.perf_counter()
+        state, hist = fit_model(trainer, state, loader, eval_fn, args.epochs,
+                                steps_per_dispatch=args.steps_per_dispatch,
+                                early_stopping=args.early_stopping, fold=fold,
+                                verbose_every=0)
         times.append(time.perf_counter() - t0)
+        if args.use_wandb:
+            from gcnn_keras_tpu.utils.wandb_wizard import finish_wandb
+            finish_wandb()
+        params = state.params
         histories.append(hist)
         print(f"fold {fold}: val_scaled_mae={hist['val_scaled_mae'][-1]:.4f}")
 
+        if args.plots:
+            from gcnn_keras_tpu.utils.plots import plot_predict_true
+            out = model.apply(params, test_batch)["output"]
+            gm = np.asarray(test_batch.globals["graph_mask"], bool).reshape(-1)
+            plot_predict_true(
+                np.asarray(out).reshape(-1)[gm],
+                np.asarray(test_batch.globals["graph_labels"]).reshape(-1)[gm],
+                model_name=args.model, dataset_name="SyntheticQM9",
+                target_names="graph_labels",
+                filepath=f"results/qm/{args.model}_fold{fold}",
+                file_name="predict.png")
+
+    if args.plots:
+        from gcnn_keras_tpu.utils.plots import plot_train_test_loss
+        plot_train_test_loss(histories, loss_name="loss",
+                             val_loss_name="val_loss", model_name=args.model,
+                             dataset_name="SyntheticQM9", filepath="results/qm",
+                             file_name=f"{args.model}_loss.png")
     score = save_history_score(histories, f"results/qm/{args.model}_score.yaml",
                                model_name=args.model, dataset_name="SyntheticQM9",
                                seed=args.seed, time_list=times)

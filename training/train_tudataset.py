@@ -24,6 +24,12 @@ def main():
     ap.add_argument("--steps-per-dispatch", type=int, default=1,
                     help="fuse K same-shape optimizer steps into one "
                          "jitted dispatch (see PERF.md r3)")
+    ap.add_argument("--early-stopping", type=int, default=0,
+                    help="EarlyStopping patience on val_accuracy (0 = off); "
+                         "restores best weights on stop (keras parity)")
+    ap.add_argument("--use-wandb", action="store_true")
+    ap.add_argument("--plots", dest="plots", action="store_true", default=True)
+    ap.add_argument("--no-plots", dest="plots", action="store_false")
     args = ap.parse_args()
 
     import jax
@@ -84,23 +90,42 @@ def main():
         state = trainer.init_state(params)
 
         test_batch = test.to_batch(global_keys=("graph_labels",))
-        hist = {"loss": [], "val_accuracy": []}
-        t0 = time.perf_counter()
-        for epoch in range(args.epochs):
-            state, em = trainer.fit_epoch(
-                state, loader, steps_per_dispatch=args.steps_per_dispatch)
-            params = state.params
-            losses = [em.get("loss", float("nan"))]
-            out = model.apply(params, test_batch, train=False)["output"]
-            y = jnp.asarray(labels[te])
+        y_te = jnp.asarray(labels[te])
+
+        def eval_fn(p):
+            out = model.apply(p, test_batch, train=False)["output"]
             acc = float(masked_accuracy(
-                out[:len(te)], y, test_batch.globals["graph_mask"][:len(te)]))
-            hist["loss"].append(float(np.mean(losses)))
-            hist["val_accuracy"].append(acc)
+                out[:len(te)], y_te,
+                test_batch.globals["graph_mask"][:len(te)]))
+            # monitor maximizes accuracy -> minimize its negation
+            return {"val_accuracy": acc, "val_loss": -acc}
+
+        from gcnn_keras_tpu.training.fit import fit_model
+        if args.use_wandb:
+            from gcnn_keras_tpu.utils.wandb_wizard import init_wandb
+            init_wandb("gcnn_keras_tpu", name=f"tu_{args.model}_fold{fold}",
+                       config=vars(args))
+        t0 = time.perf_counter()
+        state, hist = fit_model(trainer, state, loader, eval_fn, args.epochs,
+                                steps_per_dispatch=args.steps_per_dispatch,
+                                early_stopping=args.early_stopping, fold=fold,
+                                verbose_every=0)
         times.append(time.perf_counter() - t0)
+        if args.use_wandb:
+            from gcnn_keras_tpu.utils.wandb_wizard import finish_wandb
+            finish_wandb()
+        params = state.params
         histories.append(hist)
         print(f"fold {fold}: val_acc={hist['val_accuracy'][-1]:.4f}")
 
+    if args.plots:
+        from gcnn_keras_tpu.utils.plots import plot_train_test_loss
+        plot_train_test_loss(histories, loss_name="loss",
+                             val_loss_name="val_accuracy",
+                             model_name=args.model,
+                             dataset_name=args.dataset or "synthetic",
+                             filepath="results/tudataset",
+                             file_name=f"{args.model}_loss.png")
     score = save_history_score(histories,
                                f"results/tudataset/{args.model}_score.yaml",
                                model_name=args.model,
