@@ -173,7 +173,11 @@ def bench_schnet_setup(jax, jnp, optax):
     n_real_edges = int(np.asarray(batch.edge_mask).sum())
 
     fmodel = EnergyForceModel(make_model())  # reference defaults: 128u, d4
-    params = fmodel.init(jax.random.PRNGKey(0), batch, train=False)
+    # jit the init: EAGER flax init dispatches every op separately
+    # through the tunnel (~10 ms/launch x thousands of ops = minutes;
+    # the r4 cold-timeline mark measured 785 s of setup vs 6 s compile)
+    params = jax.jit(lambda k, b: fmodel.init(k, b, train=False))(
+        jax.random.PRNGKey(0), batch)
 
     def loss_fn(params, b):
         out = fmodel.apply(params, b, train=False)
@@ -301,7 +305,8 @@ def _hdnnp_setup(jax, jnp, optax):
         mlp_local_kwargs={"units": [64, 64, 1], "num_relations": 10,
                           "activation": ["swish", "swish", "linear"]})
     fmodel = EnergyForceModel(model, use_esp_coupling=True)
-    params = fmodel.init(jax.random.PRNGKey(0), batch, train=False)
+    params = jax.jit(lambda k, b: fmodel.init(k, b, train=False))(
+        jax.random.PRNGKey(0), batch)
 
     def loss_fn(params, b):
         out = fmodel.apply(params, b, train=False)
@@ -427,7 +432,8 @@ def sec_hdnnp_large_mol(jax, jnp, optax):
                           "activation": ["swish", "swish", "linear"]},
         electrostatic_kwargs={"param_trainable": False, "solver": "auto"})
     fmodel = EnergyForceModel(model, use_esp_coupling=True)
-    params = fmodel.init(jax.random.PRNGKey(0), batch, train=False)
+    params = jax.jit(lambda k, b: fmodel.init(k, b, train=False))(
+        jax.random.PRNGKey(0), batch)
 
     def loss_fn(params, b):
         out = fmodel.apply(params, b, train=False)
@@ -484,7 +490,7 @@ def sec_md_single(jax, jnp):
     batch = batch_graphs([g], global_keys=("energy",))
 
     model = make_model()
-    params = model.init(jax.random.PRNGKey(0), batch)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
     fn = make_energy_force_fn(model, params, batch)
     mask = batch.node_mask[:, None].astype(jnp.float32)
     m = jnp.full((batch.n_node, 1), 12.0, jnp.float32)
@@ -569,7 +575,8 @@ def main():
     _section("hdnnp_large_mol", 130, sec_hdnnp_large_mol, jax, jnp, optax)
 
     RECORD["status"] = "complete" if all(
-        v == "ok" for v in RECORD["sections"].values()) else "partial"
+        str(v).startswith("ok") for v in RECORD["sections"].values()) \
+        else "partial"
     RECORD["elapsed_s"] = round(time.monotonic() - _T0, 1)
     _emit_once()
 

@@ -327,60 +327,110 @@ def make_partitioned_energy_force(model, mesh: Mesh, axis: str = "data",
 def make_partitioned_train_step(model, mesh: Mesh, tx, axis: str = "data",
                                 energy_key: str = "output",
                                 w_energy: float = 1.0,
-                                w_force: float = 1.0) -> Callable:
-    """Full energy+force training step over the sharded giant graph:
-    ``step(variables, opt_state, stacked_batch, e_ref, f_ref_stacked) ->
-    (variables, opt_state, metrics)``.
+                                w_force: float = 1.0,
+                                w_charge: float = 0.0) -> Callable:
+    """Full charge+energy+force training step over the sharded giant graph:
+    ``step(variables, opt_state, stacked_batch, e_ref, f_ref_stacked
+    [, q_ref_stacked]) -> (variables, opt_state, metrics)``.
 
-    Loss = w_e (E - E_ref)^2 + w_f * mean_{n,xyz} (F - F_ref)^2. The energy
-    term's gradient is assembled via the surrogate ``coeff * e_loc`` with
-    ``coeff = 2 w_e (E - E_ref)`` computed behind stop_gradient, so no psum
-    sits inside the differentiated region; per-device gradients are then
-    psum'd — together exactly d/dtheta of the global loss (verified against
-    the single-device oracle in tests/test_partitioned_model.py)."""
+    Loss = w_e (E - E_ref)^2 + w_f mean_{n,xyz} (F - F_ref)^2
+    + w_q mean_n (q - q_ref)^2 — the flagship HDNNP4th recipe
+    (reference force_hdnnp4th.py:228-245 with weights 1/200/50).
 
-    def device_grads(variables, batch, e_ref, f_ref):
+    Gradient assembly never transposes a transposed program:
+
+    - ENERGY: surrogate ``coeff * e_s`` with ``e_s = E / D`` (see
+      ``_graph_energy_scaled``) and ``coeff = 2 w_e (E - E_ref)`` behind
+      stop_gradient; psum'd per-device grads give exactly
+      d/dtheta [w_e (E - E_ref)^2].
+    - FORCE: reverse-over-FORWARD. dL_f/dtheta = d/dtheta <grad_pos E, v>
+      with v = stop_grad(dL_f/dF) = -stop_grad(2 w_f (F - F_ref) m / 3N):
+      the directional derivative h = jvp(pos -> E/D; v) is a REPLICATED
+      scalar whose psum'd theta-grads equal d<grad_pos E, v>/dtheta — one
+      jvp through the solve (custom_linear_solve's tangent rule: one more
+      CG on a replicated rhs) followed by ONE reverse pass. The previous
+      reverse-over-REVERSE formulation required the transpose of the
+      distributed CG's transposed program, whose hand-reconciled
+      replication bookkeeping (qeq_solver linear_call wrappers) is proven
+      to first order only — and was measurably wrong at second order
+      (grads off by 1e4x; tools/debug_partitioned_force_loss.py).
+    - CHARGE: per-shard surrogate ``<q_loc, u>`` with
+      u = stop_grad(2 w_q (q - q_ref) m / N) — a first-order reverse
+      through the solve, the already-proven path.
+
+    All three verified against the single-device dense-Qeq oracle in
+    tests/test_partitioned_model.py."""
+
+    def device_grads(variables, batch, e_ref, f_ref, q_ref):
         lb = _local(batch)
         f_ref_loc = f_ref[0]
+        q_ref_loc = q_ref[0]
         pos0 = lb.nodes["node_coordinates"]
         mask = lb.node_mask.astype(jnp.float32)[:, None]
-        n_tot3 = jax.lax.psum(jnp.sum(mask), axis) * 3.0
+        n_tot = jax.lax.psum(jnp.sum(mask), axis)
+        n_tot3 = n_tot * 3.0
 
-        def surrogate(v):
-            # e_s = E / D is the consistent differentiable quantity (see
-            # _graph_energy_scaled); the energy-loss surrogate is
-            # coeff * e_s with coeff = 2 w_e (E - E_ref) — summed over the
-            # D replicated seeds and psum'd that is exactly
-            # d/dtheta [w_e (E - E_ref)^2].
-            e_s, g = jax.value_and_grad(
-                lambda p: _graph_energy_scaled(model, v, lb, p,
-                                               energy_key))(pos0)
-            f_pred = -g
-            e = e_s * lb.n_shards
-            coeff = jax.lax.stop_gradient(2.0 * w_energy * (e - e_ref))
-            df = (f_pred - f_ref_loc) * mask
-            lf_loc = w_force * jnp.sum(df * df) / n_tot3
-            return lf_loc + coeff * e_s, (e, lf_loc, f_pred)
+        def e_and_q(vars_, p):
+            out = model.apply(vars_, lb.replace_nodes(node_coordinates=p))
+            e_s = out[energy_key][0, 0] / lb.n_shards
+            q = out.get("charge")
+            if q is not None:
+                q = q.reshape(q.shape[0], -1)[:, 0]
+            return e_s, q
 
-        (_, (e, lf_loc, f_pred)), gv = jax.value_and_grad(
-            surrogate, has_aux=True)(variables)
-        gv = jax.lax.psum(gv, axis)
+        # pass 1 (fixed theta): E, F, q for the loss value and the
+        # stop-gradient seed vectors
+        (e_s, q_loc), g = jax.value_and_grad(
+            lambda p: e_and_q(variables, p), has_aux=True)(pos0)
+        f_pred = -g
+        e = e_s * lb.n_shards
+        coeff = jax.lax.stop_gradient(2.0 * w_energy * (e - e_ref))
+        df = (f_pred - f_ref_loc) * mask
+        lf_loc = w_force * jnp.sum(df * df) / n_tot3
+        v = jax.lax.stop_gradient(-2.0 * w_force * df / n_tot3)
+        if q_loc is not None:
+            dq = (q_loc - q_ref_loc) * mask[:, 0]
+            lq_loc = w_charge * jnp.sum(dq * dq) / n_tot
+            u = jax.lax.stop_gradient(2.0 * w_charge * dq / n_tot)
+        else:
+            lq_loc = jnp.zeros(())
+
+        def surrogate(vars_):
+            if w_force:
+                (e_s2, q2), (h, _) = jax.jvp(
+                    lambda p: e_and_q(vars_, p), (pos0,), (v,))
+            else:
+                e_s2, q2 = e_and_q(vars_, pos0)
+                h = 0.0
+            s = coeff * e_s2 + h
+            if w_charge and q2 is not None:
+                s = s + jnp.sum(q2 * u)
+            return s
+
+        gv = jax.lax.psum(jax.grad(surrogate)(variables), axis)
         lf = jax.lax.psum(lf_loc, axis)
-        loss = w_energy * (e - e_ref) ** 2 + lf
-        metrics = {"loss": loss, "energy": e, "force_loss": lf}
+        lq = jax.lax.psum(lq_loc, axis)
+        loss = w_energy * (e - e_ref) ** 2 + lf + lq
+        metrics = {"loss": loss, "energy": e, "force_loss": lf,
+                   "charge_loss": lq}
         return gv, metrics, f_pred[None]
 
     sm = shard_map(device_grads, mesh=mesh,
-                   in_specs=(P(), P(axis), P(), P(axis)),
+                   in_specs=(P(), P(axis), P(), P(axis), P(axis)),
                    out_specs=(P(), P(), P(axis)), check_vma=False)
 
     @jax.jit
-    def step(variables, opt_state, batch, e_ref, f_ref):
+    def _step(variables, opt_state, batch, e_ref, f_ref, q_ref):
         import optax
-        gv, metrics, _ = sm(variables, batch, e_ref, f_ref)
+        gv, metrics, _ = sm(variables, batch, e_ref, f_ref, q_ref)
         updates, opt_state = tx.update(gv, opt_state, variables)
         variables = optax.apply_updates(variables, updates)
         return variables, opt_state, metrics
+
+    def step(variables, opt_state, batch, e_ref, f_ref, q_ref=None):
+        if q_ref is None:
+            q_ref = jnp.zeros(f_ref.shape[:-1], f_ref.dtype)
+        return _step(variables, opt_state, batch, e_ref, f_ref, q_ref)
 
     return step
 
