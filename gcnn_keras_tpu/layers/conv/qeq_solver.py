@@ -144,6 +144,54 @@ def solve_qeq_iterative_batch(pos: Array, sigma: Array, hardness_diag: Array,
 
 # ------------------------------------------- mesh-sharded giant molecule ---
 
+def _transposable_pcg(matvec, precond, b: Array, tol: float,
+                      maxiter: Optional[int]) -> Array:
+    """Preconditioned CG via ``lax.custom_linear_solve(symmetric=True)``
+    whose solve closure has NO b-dependent constants.
+
+    ``jax.scipy.sparse.linalg.cg`` bakes ``tol^2 * <b, b>`` into its solve
+    jaxpr — a b-DERIVED const. That is fine for plain reverse mode (the
+    transpose RULE runs with primal params), but when a solve call is
+    STAGED with an unknown rhs (the recursive tangent call of
+    ``_qeq_rows_custom`` under any outer differentiation), the const
+    becomes an undefined primal and ``custom_linear_solve``'s transpose
+    raises NotImplementedError (jax solves.py:404). Here the stopping
+    threshold is a STATIC absolute tolerance, so every const is
+    rhs-independent and the call transposes in any staging context."""
+    maxiter = maxiter if maxiter is not None else 10 * b.shape[0]
+    tol2 = float(tol) * float(tol)
+
+    def solve(mv, bb):
+        x0 = jnp.zeros_like(bb)
+        r0 = bb
+        z0 = precond(r0)
+        gamma0 = jnp.sum(r0 * z0)
+
+        # carry: x, r, z, p, gamma, k
+        def cond2(c):
+            _, r, _, _, _, k = c
+            return (jnp.sum(r * r) > tol2) & (k < maxiter)
+
+        def body2(c):
+            x, r, z, p, gamma, k = c
+            ap = mv(p)
+            denom = jnp.sum(p * ap)
+            alpha = gamma / jnp.where(denom != 0, denom, 1.0)
+            x = x + alpha * p
+            r = r - alpha * ap
+            z = precond(r)
+            gamma_new = jnp.sum(r * z)
+            beta = gamma_new / jnp.where(gamma != 0, gamma, 1.0)
+            p = z + beta * p
+            return x, r, z, p, gamma_new, k + 1
+
+        x, _, _, _, _, _ = jax.lax.while_loop(
+            cond2, body2, (x0, r0, z0, z0, gamma0, jnp.zeros((), jnp.int32)))
+        return x
+
+    return jax.lax.custom_linear_solve(matvec, b, solve, symmetric=True)
+
+
 def solve_qeq_rows_in_shard_map(pos_loc: Array, sig_loc: Array,
                                 diag_loc: Array, mask_loc: Array,
                                 chi_loc: Array, qtot: Array, axis: str,
@@ -157,18 +205,40 @@ def solve_qeq_rows_in_shard_map(pos_loc: Array, sig_loc: Array,
     erf-kernel matvec — O(M^2/D) work, never a materialized M x M.
     Returns this shard's LOCAL charges (M/D,).
 
-    All collectives are linear (all_gather / the implicit reduce-scatter of
-    its transpose), and ``jax.scipy.sparse.linalg.cg`` carries the implicit
-    adjoint solve, so forces (and grad-of-grad training) differentiate
-    through this exactly like the single-device solver — PROVIDED the
-    adjoint solve's right-hand side is consistent across shards: each
-    shard's loss seeds a cotangent only for ITS slice of the replicated
-    solution, and ``custom_linear_solve``'s transpose would hand those
-    differing vectors straight to the distributed matvec (which mixes
-    per-device inputs via all_gather — garbage unless replicated). The
-    ``_replicated_adjoint`` wrapper below (identity forward, psum
-    transpose: the adjoint pair of broadcast/sum) reconciles the
-    cotangents into the one full rhs before the adjoint CG runs."""
+    Differentiable to ARBITRARY order: the solve is wrapped in a
+    ``jax.custom_jvp`` whose tangent rule solves the bordered tangent
+    system [[A,1],[1^T,0]][dq;dlam] = [dchi - dA q; dqtot] by RECURSIVELY
+    calling this same solve on the tangent right-hand side. This keeps
+    every differentiation order inside the calibrated first-order
+    machinery: ``lax.custom_linear_solve``'s OWN jvp rule would couple the
+    raw (pre-reconciliation) solve output into the tangent program, where
+    per-shard partial cotangents from the dA(x) term mix with the
+    replicated cotangents of the wrapped path — measurably wrong at second
+    order (grads off by 1e4x; tools/debug_qeq_second_order.py is the
+    minimal repro, tools/debug_partitioned_force_loss.py the flagship
+    one). With the recursion, dA(x) consumes the POST-reconciliation
+    boundary value through plain collectives whose conservative
+    check_vma=False transposes are exact."""
+    maskf_loc = mask_loc.astype(pos_loc.dtype)
+    return _qeq_rows_custom(axis, tol, maxiter, pos_loc, sig_loc, diag_loc,
+                            maskf_loc, chi_loc, qtot)
+
+
+def _qeq_rows_primal(axis, tol, maxiter, pos_loc, sig_loc, diag_loc,
+                     maskf_loc, chi_loc, qtot):
+    """The reconciled first-order-safe solve body (see the wrapper's
+    docstring). All collectives are linear (all_gather / the implicit
+    reduce-scatter of its transpose), and ``jax.scipy.sparse.linalg.cg``
+    carries the implicit adjoint solve, so ONE reverse pass through this
+    matches the single-device solver — PROVIDED the adjoint solve's
+    right-hand side is consistent across shards: each shard's loss seeds a
+    cotangent only for ITS slice of the replicated solution, and
+    ``custom_linear_solve``'s transpose would hand those differing vectors
+    straight to the distributed matvec (which mixes per-device inputs via
+    all_gather — garbage unless replicated). The ``_replicated_adjoint``
+    wrapper (identity forward, psum transpose: the adjoint pair of
+    broadcast/sum) reconciles the cotangents into the one full rhs before
+    the adjoint CG runs."""
 
     from jax.custom_derivatives import linear_call
 
@@ -176,7 +246,6 @@ def solve_qeq_rows_in_shard_map(pos_loc: Array, sig_loc: Array,
         return linear_call(lambda _, v: v,
                            lambda _, ct: jax.lax.psum(ct, axis), None, x)
     m_loc = pos_loc.shape[0]
-    maskf_loc = mask_loc.astype(pos_loc.dtype)
     i = jax.lax.axis_index(axis)
 
     def _gather_r(v):
@@ -221,10 +290,8 @@ def solve_qeq_rows_in_shard_map(pos_loc: Array, sig_loc: Array,
     inv_diag_all = _gather_r(1.0 / jnp.maximum(diag_loc, 1e-6))
 
     def cg(b):
-        x, _ = jax.scipy.sparse.linalg.cg(
-            matvec, b, tol=tol, M=lambda x: inv_diag_all * x,
-            maxiter=maxiter)
-        return x
+        return _transposable_pcg(matvec, lambda x: inv_diag_all * x, b,
+                                 tol, maxiter)
 
     ones = mask_all
     x1 = cg(chi_all)
@@ -234,6 +301,57 @@ def solve_qeq_rows_in_shard_map(pos_loc: Array, sig_loc: Array,
     q_all = (x1 - lam * x2) * mask_all
     q_all = _replicated_adjoint(q_all)
     return jax.lax.dynamic_slice(q_all, (i * m_loc,), (m_loc,))
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(0, 1, 2))
+def _qeq_rows_custom(axis, tol, maxiter, pos_loc, sig_loc, diag_loc,
+                     maskf_loc, chi_loc, qtot):
+    return _qeq_rows_primal(axis, tol, maxiter, pos_loc, sig_loc, diag_loc,
+                            maskf_loc, chi_loc, qtot)
+
+
+@_qeq_rows_custom.defjvp
+def _qeq_rows_jvp(axis, tol, maxiter, primals, tangents):
+    """Tangent of the constrained solve: the bordered system gives
+    [dq; dlam] = Solve(dchi - dA q, dqtot) — ONE more call of the SAME
+    wrapped solve on the tangent rhs. (dA q) rows are computed with plain
+    collectives; their transposes (psum-scatter of all_gather) are exact
+    for the per-shard varying cotangents they produce, and the solve's
+    output boundary is the reconciled q_loc — so reverse passes over this
+    tangent program reuse only first-order-proven machinery."""
+    pos_loc, sig_loc, diag_loc, maskf_loc, chi_loc, qtot = primals
+    dpos, dsig, ddiag, _dmask, dchi, dqtot = tangents
+
+    q_loc = _qeq_rows_custom(axis, tol, maxiter, pos_loc, sig_loc, diag_loc,
+                             maskf_loc, chi_loc, qtot)
+
+    m_loc = pos_loc.shape[0]
+    i = jax.lax.axis_index(axis)
+    q_all = jax.lax.all_gather(q_loc, axis, tiled=True)
+    mask_all = jax.lax.all_gather(maskf_loc, axis, tiled=True)
+    n_all = q_all.shape[0]
+
+    def rows(p_l, s_l, d_l):
+        """This shard's rows of A(pos, sig, diag) @ q, q held constant."""
+        p_a = jax.lax.all_gather(p_l, axis, tiled=True)
+        s_a = jax.lax.all_gather(s_l, axis, tiled=True)
+        diff = p_l[:, None, :] - p_a[None, :, :]
+        dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
+        gamma = jnp.sqrt(s_l[:, None] ** 2 + s_a[None, :] ** 2 + 1e-12)
+        off = jax.scipy.special.erf(dist / (gamma * math.sqrt(2.0))) / dist
+        row_g = jax.lax.broadcasted_iota(jnp.int32, (m_loc, n_all), 0) \
+            + i * m_loc
+        col_g = jax.lax.broadcasted_iota(jnp.int32, (m_loc, n_all), 1)
+        off = jnp.where(row_g == col_g, 0.0, off) * mask_all[None, :]
+        return (off @ q_all) * maskf_loc + d_l * q_loc
+
+    _, dAq_loc = jax.jvp(rows, (pos_loc, sig_loc, diag_loc),
+                         (dpos, dsig, ddiag))
+    drhs_loc = dchi * maskf_loc - dAq_loc
+    dq_loc = _qeq_rows_custom(axis, tol, maxiter, pos_loc, sig_loc,
+                              diag_loc, maskf_loc, drhs_loc, dqtot)
+    return q_loc, dq_loc
+
 
 def solve_qeq_iterative_sharded(pos: Array, sigma: Array,
                                 hardness_diag: Array, chi: Array,

@@ -28,15 +28,16 @@ Pieces:
 The flagship HDNNP4th also runs partitioned (ACSF angle triples carry
 halo-encoded neighbor ids; the Qeq charge solve is the ROW-SHARDED
 matrix-free CG of ``layers/conv/qeq_solver.solve_qeq_rows_in_shard_map``):
-energy, forces, charges, and energy(-and-charge)-loss training all match
-the dense-Qeq single-device oracle. KNOWN LIMIT: FORCE-loss training on a
-partitioned HDNNP4th (grad-of-grad THROUGH the distributed CG) is not yet
-adjoint-consistent on the chi path — the implicit-solve transpose's
-replicated-cotangent reconciliation (see qeq_solver) is proven to first
-order only. HDNNP4th force TRAINING should use DP over molecules (its
-molecules fit on a chip; the giant-system need is MD/inference, which is
-exact here); lifting this needs vma-tracked (check_vma=True) collectives
-through ``lax.custom_linear_solve``.
+energy, forces, charges, AND the full flagship loss (charge + energy +
+force, reference force_hdnnp4th.py:228-245) all TRAIN with gradients
+matching the dense-Qeq single-device oracle
+(tests/test_partitioned_model.py). The force term's second order
+(grad-of-grad THROUGH the distributed CG — r3's KNOWN LIMIT) is closed
+by (a) a jax.custom_jvp on the sharded solve whose tangent rule
+recursively solves the bordered tangent system (qeq_solver._qeq_rows_jvp),
+(b) a custom_linear_solve CG with no rhs-derived solve constants
+(qeq_solver._transposable_pcg), and (c) a reverse-over-FORWARD force-loss
+gradient in the train step below.
 
 No reference counterpart: kgcnn is strictly single-device and caps system
 size in preprocessing instead (``kgcnn/graph/preprocessor.py:264-269``,
