@@ -12,6 +12,8 @@ from evaluate_models import load_ensemble, predict_ensemble
 
 
 def main():
+    from gcnn_keras_tpu.utils.devices import honor_platform_env
+    honor_platform_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("--prefix", default="model_energy_force")
     ap.add_argument("--script", default="force_hdnnp4th")

@@ -51,16 +51,33 @@ def predict_ensemble(members, batch, graphs=None):
 
 
 def main():
+    from gcnn_keras_tpu.utils.devices import honor_platform_env
+    honor_platform_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("--prefix", default="model_energy_force")
     ap.add_argument("--script", default="force_hdnnp4th",
                     help="script module providing build_model + CONFIG")
     ap.add_argument("--data-path", default=None)
+    ap.add_argument("--output-dir", default="evaluation_results",
+                    help="per-model artifact directory (reference "
+                         "evaluate_models.py --output-dir): errors{i}.json, "
+                         "predict_*{i}.png, geoms{i}.extxyz, "
+                         "*_predictions{i}.csv per ensemble member")
+    ap.add_argument("--indices", default=None,
+                    help="pickle with a dict holding 'test' indices "
+                         "(reference load_indices); default = whole dataset "
+                         "as the test stage")
+    ap.add_argument("--conf", default=None,
+                    help="JSON config override merged onto the script's "
+                         "CONFIG (same semantics as the force_*.py --conf)")
     args = ap.parse_args()
 
     import importlib
     mod = importlib.import_module(args.script)
     cfg = dict(mod.CONFIG)
+    if args.conf:
+        with open(args.conf) as f:
+            cfg.update(json.load(f))
     if args.data_path:
         cfg["data_path"] = args.data_path
     if hasattr(mod, "load_dataset"):
@@ -90,6 +107,31 @@ def main():
         mean_pred = preds["force"].mean(axis=0)
         report["force_mae_per_model"] = [float(v) for v in per]
         report["force_mae_ensemble"] = float(np.abs(mean_pred[nm] - target).mean())
+
+    # per-member per-stage artifact sets (reference evaluate_models.py
+    # delegates to each fork script's evaluate_model; here the shared
+    # evaluator writes errors{i}.json / predict_*{i}.png / geoms{i}.extxyz
+    # / *_predictions{i}.csv into --output-dir)
+    from gcnn_keras_tpu.training.evaluation import evaluate_model
+    from gcnn_keras_tpu.data.dataset import MemoryGraphDataset
+    if args.indices:
+        import pickle
+        with open(args.indices, "rb") as f:
+            idx = pickle.load(f)
+        indices = (np.array([], np.int64), np.array([], np.int64),
+                   np.asarray(idx["test"]))
+    else:
+        indices = (np.array([], np.int64), np.array([], np.int64),
+                   np.arange(len(ds)))
+    for i, (fmodel, params, scaler) in enumerate(members):
+        ds_m = MemoryGraphDataset(graphs=[dict(g) for g in ds])
+        if scaler is not None:
+            scaler.transform_dataset(ds_m)
+        evaluate_model(ds_m, fmodel, params, indices, scaler=scaler,
+                       model_index=i, output_dir=args.output_dir,
+                       dataset_name=cfg.get("data_path") or "synthetic",
+                       model_name=args.script)
+    report["output_dir"] = args.output_dir
     print(json.dumps(report, indent=2))
 
 

@@ -94,6 +94,8 @@ def main():
         cfg["epochs"] = args.epochs
 
     import jax
+    from gcnn_keras_tpu.utils.devices import honor_platform_env
+    honor_platform_env()
     import optax
     from gcnn_keras_tpu.data.scalers import EnergyForceExtensiveLabelScaler
     from gcnn_keras_tpu.data.loader import GraphBatchLoader
@@ -184,26 +186,21 @@ def main():
         print(f"fold {fold}: loss={hist['loss'][-1]:.4f} "
               f"val_F_mae={hist['val_force_mae'][-1]:.4f} -> {outdir}")
 
-        if cfg["make_plots"]:
-            # per-fold predict-vs-true on the TEST split (reference
-            # training/train_force.py:224-231 post-fit block)
-            from gcnn_keras_tpu.utils.plots import plot_predict_true
-            test_batch = test.to_batch(global_keys=("energy", "total_charge"))
-            tout = fmodel.apply(params, test_batch, train=False)
-            gm = np.asarray(test_batch.globals["graph_mask"], bool)
-            nm = np.asarray(test_batch.node_mask, bool)
-            plot_predict_true(
-                np.asarray(tout["energy"]).reshape(-1)[gm.reshape(-1)],
-                np.asarray(test_batch.globals["energy"]).reshape(-1)[gm.reshape(-1)],
-                model_name="HDNNP4th", dataset_name="force",
-                target_names="energy", filepath=outdir,
-                file_name="predict_energy.png")
-            plot_predict_true(
-                np.asarray(tout["force"])[nm],
-                np.asarray(test_batch.nodes["force"])[nm],
-                model_name="HDNNP4th", dataset_name="force",
-                target_names="force", filepath=outdir,
-                file_name="predict_force.png")
+        # Per-stage evaluation artifacts (reference force_hdnnp4th.py
+        # evaluate_model): errors.json with Train/Val/Test RMSE/MAE/R2 for
+        # charge/energy/force, test-set extxyz with ref+pred columns,
+        # flat prediction CSVs, predict-vs-true PNGs — all in the fold dir.
+        from gcnn_keras_tpu.training.evaluation import evaluate_model
+        from gcnn_keras_tpu.data.dataset import MemoryGraphDataset
+        eval_ds = MemoryGraphDataset(
+            graphs=list(train) + list(val) + list(test))
+        evaluate_model(eval_ds, fmodel, params,
+                       (np.arange(len(train)),
+                        len(train) + np.arange(len(val)),
+                        len(train) + len(val) + np.arange(len(test))),
+                       scaler=scaler, output_dir=outdir,
+                       dataset_name="force", model_name="HDNNP4th",
+                       make_plots=cfg["make_plots"])
 
     if cfg["make_plots"]:
         from gcnn_keras_tpu.utils.plots import plot_train_test_loss

@@ -18,6 +18,8 @@ def main():
     args = ap.parse_args()
 
     import jax
+    from gcnn_keras_tpu.utils.devices import honor_platform_env
+    honor_platform_env()
     import optax
     from force_hdnnp4th import CONFIG, build_model, load_dataset
     from gcnn_keras_tpu.data.scalers import EnergyForceExtensiveLabelScaler

@@ -1,6 +1,13 @@
 """Dataset download/extract helper (parity: ``kgcnn/data/download.py:14``
 DownloadDataset): fetch to ``~/.gcnn_keras_tpu/datasets``, unpack
-zip/tar/gz, with an offline-friendly cache check."""
+zip/tar/gz, with an offline-friendly cache check.
+
+Cache semantics mirror the reference's ``download_dataset_to_disk``
+(``kgcnn/data/download.py:90-120``): the archive is fetched only when
+missing (or ``reload=True``), and each unpack step is skipped when its
+output already exists unless ``reload`` forces a re-extract. ``file://``
+URLs work, so the whole flow is exercised offline against locally
+synthesized archives (tests/test_data_layer.py)."""
 from __future__ import annotations
 
 import logging
@@ -21,24 +28,28 @@ class DownloadDataset:
                  unpack_tar: bool = False, unpack_zip: bool = False,
                  unpack_directory_name: Optional[str] = None,
                  extract_gz: bool = False,
-                 reload: bool = False, **kwargs):
+                 extract_file_name: Optional[str] = None,
+                 reload: bool = False, data_main_dir: Optional[str] = None,
+                 **kwargs):
         self.dataset_name = dataset_name
         self.download_url = download_url
         self.download_file_name = download_file_name
-        self.data_main_dir = DATASET_ROOT
+        self.data_main_dir = data_main_dir or DATASET_ROOT
         self.data_directory_name = dataset_name
-        self.data_directory = os.path.join(DATASET_ROOT, dataset_name)
+        self.data_directory = os.path.join(self.data_main_dir, dataset_name)
+        self.unpack_directory_name = unpack_directory_name
+        self.extract_file_name = extract_file_name
         os.makedirs(self.data_directory, exist_ok=True)
         if download_url and download_file_name:
             path = os.path.join(self.data_directory, download_file_name)
             if reload or not os.path.exists(path):
                 self._download(download_url, path)
             if unpack_tar and os.path.exists(path):
-                self._untar(path, unpack_directory_name)
+                self._untar(path, unpack_directory_name, reload)
             if unpack_zip and os.path.exists(path):
-                self._unzip(path, unpack_directory_name)
+                self._unzip(path, unpack_directory_name, reload)
             if extract_gz and os.path.exists(path):
-                self._gunzip(path)
+                self._gunzip(path, extract_file_name, reload)
 
     def _download(self, url: str, path: str):
         import urllib.request
@@ -49,17 +60,30 @@ class DownloadDataset:
             logger.warning("download failed (%s); place the file at %s manually",
                            e, path)
 
-    def _untar(self, path: str, out_name: Optional[str]):
-        out = os.path.join(self.data_directory, out_name or "")
+    def _untar(self, path: str, out_name: Optional[str], reload: bool):
+        out = os.path.join(self.data_directory, out_name) if out_name \
+            else self.data_directory
+        if out_name and os.path.isdir(out) and not reload:
+            logger.info("unpacked directory %s exists; skipping untar", out)
+            return
         with tarfile.open(path) as tar:
-            tar.extractall(out or self.data_directory)
+            tar.extractall(out)
 
-    def _unzip(self, path: str, out_name: Optional[str]):
-        out = os.path.join(self.data_directory, out_name or "")
+    def _unzip(self, path: str, out_name: Optional[str], reload: bool):
+        out = os.path.join(self.data_directory, out_name) if out_name \
+            else self.data_directory
+        if out_name and os.path.isdir(out) and not reload:
+            logger.info("unpacked directory %s exists; skipping unzip", out)
+            return
         with zipfile.ZipFile(path) as z:
-            z.extractall(out or self.data_directory)
+            z.extractall(out)
 
-    def _gunzip(self, path: str):
+    def _gunzip(self, path: str, out_name: Optional[str], reload: bool):
         import gzip
-        with gzip.open(path, "rb") as f_in, open(path[:-3], "wb") as f_out:
+        out = os.path.join(self.data_directory, out_name) if out_name \
+            else (path[:-3] if path.endswith(".gz") else path + ".out")
+        if os.path.exists(out) and not reload:
+            logger.info("extracted file %s exists; skipping gunzip", out)
+            return
+        with gzip.open(path, "rb") as f_in, open(out, "wb") as f_out:
             shutil.copyfileobj(f_in, f_out)

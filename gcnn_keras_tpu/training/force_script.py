@@ -86,6 +86,8 @@ def load_force_dataset(cfg: Dict):
 def run_force_training(build_model: Callable[[Dict], object], cfg: Dict) -> Dict:
     """build_model(cfg) -> EnergyForceModel-like with init/apply."""
     import jax
+    from ..utils.devices import honor_platform_env
+    honor_platform_env()
     import optax
     from ..data.scalers import EnergyForceExtensiveLabelScaler
     from ..data.loader import GraphBatchLoader

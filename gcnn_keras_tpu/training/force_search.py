@@ -34,6 +34,8 @@ def run_force_search(cfg0: Dict, space_spec: Dict,
                      load_dataset: Optional[Callable] = None):
     """Run a Hyperband search over ``space_spec``; returns the best trial."""
     import jax
+    from ..utils.devices import honor_platform_env
+    honor_platform_env()
     import optax
     from ..data.scalers import EnergyForceExtensiveLabelScaler
     from ..data.loader import GraphBatchLoader

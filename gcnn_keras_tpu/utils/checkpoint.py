@@ -37,4 +37,18 @@ def load_checkpoint(directory: str, step: Optional[int] = None,
         step = max(steps)
     path = os.path.join(base, f"step_{step}")
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(path, target)
+    try:
+        return ckptr.restore(path, target)
+    except ValueError:
+        # Cross-platform restore: a checkpoint written on the TPU records
+        # device shardings that don't exist on a CPU host (and vice
+        # versa). Re-read every leaf as a plain numpy array instead —
+        # checkpoints must be portable across platforms (load_model.py /
+        # evaluate_models.py run wherever the user is).
+        with ocp.PyTreeCheckpointer() as tree_ckptr:
+            meta = tree_ckptr.metadata(path).item_metadata
+            import numpy as np
+            restore_args = jax.tree.map(
+                lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta.tree)
+            return tree_ckptr.restore(
+                path, args=ocp.args.PyTreeRestore(restore_args=restore_args))

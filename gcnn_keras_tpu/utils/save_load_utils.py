@@ -35,9 +35,18 @@ def load_training_indices(filename: str) -> List[np.ndarray]:
         return pickle.load(f)
 
 
-def save_extxyz(filename: str, frames: Sequence[dict]):
+def save_extxyz(filename: str, frames: Sequence[dict],
+                array_keys: Sequence[str] = ("force",),
+                info_keys: Sequence[str] = ("energy", "total_charge")):
     """Write GraphDict-like frames to extended xyz (inverse of
-    ``mol/io.py:read_extxyz_file``)."""
+    ``mol/io.py:read_extxyz_file``).
+
+    ``array_keys``: per-atom (n,) or (n, k) frame keys appended as extra
+    Properties columns (e.g. ``("ref_forces", "pred_forces",
+    "ref_charges", "pred_charges")`` for the reference's combined ref+pred
+    test-set dump, ``kgcnn -> save_load_utils.save_extxyz``).
+    ``info_keys``: scalar frame keys written into the comment line
+    (``total_charge`` is emitted as ``charge=`` for reader parity)."""
     from ..mol.io import PERIODIC_TABLE
     with open(filename, "w") as f:
         for g in frames:
@@ -45,16 +54,21 @@ def save_extxyz(filename: str, frames: Sequence[dict]):
             xyz = np.asarray(g["node_coordinates"])
             n = len(z)
             props = "Properties=species:S:1:pos:R:3"
-            comment = []
-            has_force = "force" in g
-            if has_force:
-                props += ":forces:R:3"
-            comment.append(props)
-            if "energy" in g:
-                comment.append(f"energy={float(np.asarray(g['energy']).reshape(-1)[0])}")
-            if "total_charge" in g:
+            cols = []
+            for key in array_keys:
+                if key not in g:
+                    continue
+                arr = np.asarray(g[key]).reshape(n, -1)
+                name = "forces" if key == "force" else key
+                props += f":{name}:R:{arr.shape[1]}"
+                cols.append(arr)
+            comment = [props]
+            for key in info_keys:
+                if key not in g:
+                    continue
+                name = "charge" if key == "total_charge" else key
                 comment.append(
-                    f"charge={float(np.asarray(g['total_charge']).reshape(-1)[0])}")
+                    f"{name}={float(np.asarray(g[key]).reshape(-1)[0])}")
             if "graph_lattice" in g:
                 lat = " ".join(str(float(v)) for v in np.asarray(g["graph_lattice"]).reshape(-1))
                 comment.append(f'Lattice="{lat}"')
@@ -62,6 +76,6 @@ def save_extxyz(filename: str, frames: Sequence[dict]):
             for i in range(n):
                 row = f"{PERIODIC_TABLE[int(z[i])]} " + \
                     " ".join(f"{v:.8f}" for v in xyz[i])
-                if has_force:
-                    row += " " + " ".join(f"{v:.8f}" for v in np.asarray(g["force"])[i])
+                for arr in cols:
+                    row += " " + " ".join(f"{v:.8f}" for v in arr[i])
                 f.write(row + "\n")

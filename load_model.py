@@ -9,6 +9,8 @@ import numpy as np
 
 
 def main():
+    from gcnn_keras_tpu.utils.devices import honor_platform_env
+    honor_platform_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--script", default="force_hdnnp4th")

@@ -35,6 +35,8 @@ def read_input_file(path):
 def predict(checkpoint, script, graphs, cutoff=6.0, need_angles=True):
     import importlib
     import jax
+    from gcnn_keras_tpu.utils.devices import honor_platform_env
+    honor_platform_env()
     from gcnn_keras_tpu.utils.checkpoint import load_checkpoint
     from gcnn_keras_tpu.graph.preprocess import set_range, set_angle
     from gcnn_keras_tpu.batch import batch_graphs

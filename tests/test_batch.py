@@ -4,6 +4,11 @@ import jax.numpy as jnp
 from gcnn_keras_tpu.batch import GraphBatch, batch_graphs, flat_to_padded, padded_to_flat
 
 
+import pytest
+
+pytestmark = pytest.mark.smoke
+
+
 def tiny_graphs():
     g1 = {
         "node_number": np.array([1, 8, 1]),

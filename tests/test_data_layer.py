@@ -133,3 +133,78 @@ def test_dataset_deserialize():
                                                 "max_distance": 4.0}}]})
     assert len(ds) == 4
     assert "range_indices" in ds[0]
+
+
+def test_download_dataset_archive_flow_offline(tmp_path):
+    """VERDICT r3 item 7: the full DownloadDataset fetch/unpack/cache flow
+    exercised against locally synthesized archives via file:// URLs
+    (reference flow kgcnn/data/download.py:90-120) — download, untar,
+    unzip, gunzip, cache re-entry (no re-download, no re-extract), and
+    reload=True forcing both."""
+    import gzip
+    import tarfile
+    import zipfile
+    from gcnn_keras_tpu.data.download import DownloadDataset
+
+    src = tmp_path / "srv"
+    src.mkdir()
+    root = tmp_path / "cache"
+
+    # synthesize a tar.gz archive with a payload file
+    payload = src / "member.txt"
+    payload.write_text("tar-payload")
+    tar_path = src / "arch.tar.gz"
+    with tarfile.open(tar_path, "w:gz") as t:
+        t.add(payload, arcname="member.txt")
+    # a zip archive
+    zip_path = src / "arch.zip"
+    with zipfile.ZipFile(zip_path, "w") as z:
+        z.writestr("zipped.txt", "zip-payload")
+    # a gz file
+    gz_path = src / "data.csv.gz"
+    with gzip.open(gz_path, "wb") as f:
+        f.write(b"a,b\n1,2\n")
+
+    # tar flow into an unpack directory
+    dl = DownloadDataset("TarDS", download_url=tar_path.as_uri(),
+                         download_file_name="arch.tar.gz", unpack_tar=True,
+                         unpack_directory_name="unpacked",
+                         data_main_dir=str(root))
+    out = root / "TarDS" / "unpacked" / "member.txt"
+    assert out.read_text() == "tar-payload"
+    # cache re-entry: corrupt the extracted file, re-construct -> kept
+    out.write_text("edited")
+    archive = root / "TarDS" / "arch.tar.gz"
+    mtime = archive.stat().st_mtime
+    DownloadDataset("TarDS", download_url=tar_path.as_uri(),
+                    download_file_name="arch.tar.gz", unpack_tar=True,
+                    unpack_directory_name="unpacked",
+                    data_main_dir=str(root))
+    assert out.read_text() == "edited"          # unpack skipped
+    assert archive.stat().st_mtime == mtime     # download skipped
+    # reload=True re-downloads AND re-extracts
+    DownloadDataset("TarDS", download_url=tar_path.as_uri(),
+                    download_file_name="arch.tar.gz", unpack_tar=True,
+                    unpack_directory_name="unpacked", reload=True,
+                    data_main_dir=str(root))
+    assert out.read_text() == "tar-payload"
+
+    # zip flow
+    DownloadDataset("ZipDS", download_url=zip_path.as_uri(),
+                    download_file_name="arch.zip", unpack_zip=True,
+                    unpack_directory_name="unz", data_main_dir=str(root))
+    assert (root / "ZipDS" / "unz" / "zipped.txt").read_text() == "zip-payload"
+
+    # gz flow with extract_file_name
+    DownloadDataset("GzDS", download_url=gz_path.as_uri(),
+                    download_file_name="data.csv.gz", extract_gz=True,
+                    extract_file_name="data.csv", data_main_dir=str(root))
+    assert (root / "GzDS" / "data.csv").read_text() == "a,b\n1,2\n"
+
+    # offline failure path: unreachable URL defers without crashing
+    DownloadDataset("MissingDS",
+                    download_url=(tmp_path / "nope.zip").as_uri(),
+                    download_file_name="nope.zip", unpack_zip=True,
+                    data_main_dir=str(root))
+    assert (root / "MissingDS").is_dir()
+    assert not (root / "MissingDS" / "nope.zip").exists()

@@ -6,6 +6,11 @@ import pkgutil
 import gcnn_keras_tpu
 
 
+import pytest
+
+pytestmark = pytest.mark.smoke
+
+
 def test_import_all_modules():
     failures = []
     skip_substrings = ("graph_rdkit",)  # optional heavy deps are lazy anyway

@@ -12,6 +12,8 @@ import numpy as np
 def freeze_mask(params, trainable_prefixes):
     """optax-style label tree: 'trainable' for matching top-level modules."""
     import jax
+    from gcnn_keras_tpu.utils.devices import honor_platform_env
+    honor_platform_env()
 
     def label(path, _):
         name = "/".join(str(p.key) for p in path if hasattr(p, "key"))
