@@ -157,6 +157,13 @@ class ACSFG4(nn.Module):
     keep_pair_order: bool = False
     multiplicity: Optional[float] = None
     add_eps: bool = False
+    # Fully fused Pallas path (ops/pallas/fused_g4.py): the whole
+    # gather->geometry->transcendentals->expansion->pool pipeline in VMEM,
+    # AD-closed (fwd/jvp/vjp kernels) so force training rides fused kernels
+    # at every traversal. Requires: TPU, shared grid-constant param table,
+    # default pair mapping, R*m <= 128, single-device batch. Falls back to
+    # the unfused path otherwise.
+    fused: bool = False
 
     @staticmethod
     def make_param_table(eta: Sequence[float], zeta: Sequence[float],
@@ -206,6 +213,21 @@ class ACSFG4(nn.Module):
 
         z = z if z is not None else batch.nodes["node_number"].astype(jnp.int32)
         pos = positions if positions is not None else batch.nodes["node_coordinates"]
+
+        if (self.fused and batch.part_axis is None and not per_target
+                and self.element_pair_mapping is None
+                and jax.default_backend() == "tpu"):
+            from ...ops.pallas import fused_g4
+            grid = table.reshape(-1, table.shape[-2], 4)
+            if bool(np.all(grid == grid[0:1])) \
+                    and num_rel * table.shape[-2] <= 128:
+                st = fused_g4.make_static(table, self.element_mapping,
+                                          self.keep_pair_order,
+                                          self.multiplicity)
+                return fused_g4.acsf_g4_fused(
+                    pos, z.astype(jnp.int32), batch.angles,
+                    batch.angle_mask, st, batch.n_node, batch.max_nodes)
+
         i, j, k = batch.angles[:, 0], batch.angles[:, 1], batch.angles[:, 2]
         # edge-partitioned shard: the angle's center i is LOCAL, its
         # neighbors j/k are halo-table indices (parallel/partitioned.py)
