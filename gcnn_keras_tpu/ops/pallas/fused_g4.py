@@ -8,12 +8,23 @@ sets) the unfused forward+backward takes 5.1 ms of the 11.7 ms train step
 position gathers, distances, transcendental tables, the (A, R*m) one-hot
 expansion — in HBM, in EVERY autodiff traversal.
 
-These kernels keep the whole pipeline in VMEM with the windowed-gather
-layout proven by ``fused_aggregate.py``: angles are CENTER-SORTED at batch
-build, so each 128-row output block owns a contiguous angle range, and all
-three nodes of those angles live inside a ``max_nodes``-margin node window
-around the block (the batching invariant) — one (W, 128) window DMA per
-block serves every gather as a one-hot MXU matmul.
+These kernels keep the whole pipeline in VMEM. Two layout decisions carry
+the performance:
+
+- windowed one-hot gathers (the ``fused_aggregate.py`` pattern): angles
+  are CENTER-SORTED at batch build, so each 128-row output block owns a
+  contiguous angle range whose three nodes all live in a 3x128-row node
+  window around the block (the batching invariant, ``max_nodes <= 128``)
+  — one tiny (8, 384) window DMA per block serves every gather as an MXU
+  matmul;
+- a TRANSPOSED register layout: the node table is stored as (8, N) — xyz
+  on sublanes 0-2, atomic number on sublane 3 — so gathers produce
+  (8, A_BLK) registers and ALL per-angle scalar math (distances,
+  transcendentals, pair-relation selection) runs on (1, A_BLK) rows at
+  FULL 128-lane VPU occupancy. The first (row-major) version of these
+  kernels kept per-angle scalars as (A_BLK, 1) columns — each padded to a
+  full 128-lane tile, 1/128 occupancy — and measured 2.6x SLOWER than the
+  unfused XLA chain; the transposed layout is what makes fusion win.
 
 AD closure with THREE kernels (G4 has no trainable parameters, so every
 training traversal is linear in either the position tangent or the
@@ -31,14 +42,14 @@ order the flagship training uses.
 
 Scope (asserted): shared grid-constant parameter tables (the
 ``make_param_table`` meshgrid every fork config uses), R*m <= 128 output
-lanes, f32, single-device batches (edge-partitioned shards fall back to
-the unfused path).
+lanes, m <= 8 sets, max_nodes <= 128, f32, single-device batches
+(edge-partitioned shards fall back to the unfused path).
 """
 from __future__ import annotations
 
 import functools
 import math
-from typing import Any, NamedTuple, Sequence
+from typing import NamedTuple, Sequence
 
 import numpy as np
 import jax
@@ -46,13 +57,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .segment_sum import onehot_dot
-from .fused_aggregate import _onehot_dot_t
-
 Array = jax.Array
 
 N_BLK = 128
 A_BLK = 1024
+W_WIN = 3 * N_BLK  # lane-aligned node window: block row range +-128
 
 
 class G4Static(NamedTuple):
@@ -97,11 +106,13 @@ def make_static(table: np.ndarray, elements: Sequence[int],
         scale=1.0 / float(multiplicity) if multiplicity else 1.0)
 
 
-# ------------------------------------------------------------ kernel math
+# ---------------------------------------------------------- kernel math ---
+# Everything below operates on TRANSPOSED registers: vectors are
+# (8, A_BLK) with xyz on sublanes 0-2, per-angle scalars are (1, A_BLK).
 
 def _sum3(v):
-    """Sum of the first 3 lanes of a (B, 128) register, keepdims."""
-    return (v[:, 0:1] + v[:, 1:2] + v[:, 2:3])
+    """Sum of sublanes 0..2 of an (8, B) register -> (1, B)."""
+    return v[0:1] + v[1:2] + v[2:3]
 
 
 def _geometry(pi, pj, pk):
@@ -109,12 +120,9 @@ def _geometry(pi, pj, pk):
     vij = pj - pi
     vik = pk - pi
     vjk = pk - pj
-    r2ij = _sum3(vij * vij)
-    r2ik = _sum3(vik * vik)
-    r2jk = _sum3(vjk * vjk)
-    rij = jnp.sqrt(jnp.maximum(r2ij, eps))
-    rik = jnp.sqrt(jnp.maximum(r2ik, eps))
-    rjk = jnp.sqrt(jnp.maximum(r2jk, eps))
+    rij = jnp.sqrt(jnp.maximum(_sum3(vij * vij), eps))
+    rik = jnp.sqrt(jnp.maximum(_sum3(vik * vik), eps))
+    rjk = jnp.sqrt(jnp.maximum(_sum3(vjk * vjk), eps))
     cos = _sum3(vij * vik) / rij / rik
     return vij, vik, vjk, rij, rik, rjk, cos
 
@@ -131,8 +139,8 @@ def _cutoff_d(r, rc):
 
 
 def _tables(st: G4Static, rij, rik, rjk, cos, with_derivs: bool):
-    """Per-angle unique transcendental tables (and their derivatives).
-    Returns dict of lists indexed by unique-value position."""
+    """Per-angle unique transcendental tables (and their derivatives),
+    each a (1, B) row."""
     s2 = rij * rij + rik * rik + rjk * rjk
     e = [jnp.exp(-eta * s2) for eta in st.uniq_eta]
     c, dc = [], []
@@ -159,7 +167,7 @@ def _tables(st: G4Static, rij, rik, rjk, cos, with_derivs: bool):
 
 
 def _pair_id(st: G4Static, zj, zk):
-    """Pair relation id from gathered atomic numbers (f32 lane values)."""
+    """Pair relation id from gathered atomic numbers ((1, B) f32 rows)."""
     num_el = len(st.elements)
     slot_j = jnp.zeros_like(zj)
     slot_k = jnp.zeros_like(zk)
@@ -174,42 +182,37 @@ def _pair_id(st: G4Static, zj, zk):
     return a * num_el - a * (a - 1.0) * 0.5 + (b - a)
 
 
-def _rep_sets(st: G4Static, tabs):
-    """The m per-set descriptor values (each (B, 1)) with the static
-    unique-table column picks (padding angles are excluded upstream by
-    their n_pad center id — no one-hot row ever matches them)."""
-    reps = []
-    for s in range(len(st.eta_inv)):
-        r = (tabs["c"][st.zl_inv[s]] * tabs["e"][st.eta_inv[s]]
-             * tabs["f"][st.rc_inv[s]]) * st.scale
-        reps.append(r)
-    return reps
+def _rep_rows(st: G4Static, tabs):
+    """(m, B): per-set descriptor rows stacked on sublanes."""
+    rows = [tabs["c"][st.zl_inv[s]] * tabs["e"][st.eta_inv[s]]
+            * tabs["f"][st.rc_inv[s]] * st.scale
+            for s in range(len(st.eta_inv))]
+    return jnp.concatenate(rows, axis=0)
 
 
-def _drep_sets(st: G4Static, tabs, dcos, ds2, drij, drik, drjk):
-    """Tangent of each per-set descriptor given geometry tangents."""
-    dreps = []
+def _drep_rows(st: G4Static, tabs, dcos, ds2, drij, drik, drjk):
+    """(m, B): tangents of the per-set descriptors."""
+    rows = []
     for s in range(len(st.eta_inv)):
         c = tabs["c"][st.zl_inv[s]]
         e = tabs["e"][st.eta_inv[s]]
         f = tabs["f"][st.rc_inv[s]]
-        dc = tabs["dc"][st.zl_inv[s]]
-        de = tabs["de"][st.eta_inv[s]]
-        d = (dc * e * f * dcos + c * de * f * ds2
+        d = (tabs["dc"][st.zl_inv[s]] * e * f * dcos
+             + c * tabs["de"][st.eta_inv[s]] * f * ds2
              + c * e * (tabs["df_ij"][st.rc_inv[s]] * drij
                         + tabs["df_ik"][st.rc_inv[s]] * drik
                         + tabs["df_jk"][st.rc_inv[s]] * drjk))
-        dreps.append(d * st.scale)
-    return dreps
+        rows.append(d * st.scale)
+    return jnp.concatenate(rows, axis=0)
 
 
-def _rep_coeffs(st: G4Static, tabs, drep_list):
-    """Adjoint: fold per-set cotangents into the five geometry channels
-    (a_cos, a_s2, a_rij, a_rik, a_rjk), each (B, 1)."""
+def _rep_coeffs(st: G4Static, tabs, drep_rows):
+    """Adjoint: (m, B) per-set cotangent rows -> the five geometry
+    channels (a_cos, a_s2, a_rij, a_rik, a_rjk), each (1, B)."""
     zero = jnp.zeros_like(tabs["s2"])
     a_cos = a_s2 = a_rij = a_rik = a_rjk = zero
     for s in range(len(st.eta_inv)):
-        ct = drep_list[s] * st.scale
+        ct = drep_rows[s:s + 1] * st.scale
         c = tabs["c"][st.zl_inv[s]]
         e = tabs["e"][st.eta_inv[s]]
         f = tabs["f"][st.rc_inv[s]]
@@ -221,42 +224,12 @@ def _rep_coeffs(st: G4Static, tabs, drep_list):
     return a_cos, a_s2, a_rij, a_rik, a_rjk
 
 
-def _expand(st: G4Static, reps, pair_id, f_pad):
-    """(B, R*m) lane expansion from m per-set (B, 1) values + pair id."""
-    m = len(st.eta_inv)
-    cols = []
-    for r in range(st.num_rel):
-        sel = (jnp.abs(pair_id - r) < 0.5).astype(reps[0].dtype)
-        for s in range(m):
-            cols.append(reps[s] * sel)
-    out = jnp.concatenate(cols, axis=1)
-    if f_pad > st.num_rel * m:
-        out = jnp.concatenate(
-            [out, jnp.zeros((out.shape[0], f_pad - st.num_rel * m),
-                            out.dtype)], axis=1)
-    return out
-
-
-def _collapse(st: G4Static, drep_exp, pair_id):
-    """Adjoint of ``_expand``: (B, f_pad) -> m per-set (B, 1) cotangents."""
-    m = len(st.eta_inv)
-    outs = [jnp.zeros_like(pair_id) for _ in range(m)]
-    for r in range(st.num_rel):
-        sel = (jnp.abs(pair_id - r) < 0.5).astype(drep_exp.dtype)
-        for s in range(m):
-            outs[s] = outs[s] + drep_exp[:, r * m + s:r * m + s + 1] * sel
-    return outs
-
-
-# ------------------------------------------------------------- kernels ---
-
 def _dv_from_coeffs(a_cos, a_s2, a_rij, a_rik, a_rjk,
                     vij, vik, vjk, rij, rik, rjk, cos):
-    """Geometry-channel cotangents -> (d_vij, d_vik, d_vjk) vectors."""
+    """Geometry-channel cotangents -> (d_vij, d_vik, d_vjk), (8, B)."""
     inv_ij = 1.0 / rij
     inv_ik = 1.0 / rik
     inv_jk = 1.0 / rjk
-    # dcos/dvij = vik/(rij rik) - cos vij/rij^2 ; symmetric for vik
     d_vij = (a_cos * (vik * (inv_ij * inv_ik) - vij * (cos * inv_ij * inv_ij))
              + a_s2 * 2.0 * vij + a_rij * vij * inv_ij)
     d_vik = (a_cos * (vij * (inv_ij * inv_ik) - vik * (cos * inv_ik * inv_ik))
@@ -265,71 +238,185 @@ def _dv_from_coeffs(a_cos, a_s2, a_rij, a_rik, a_rjk,
     return d_vij, d_vik, d_vjk
 
 
-def _make_fwd_kernel(st: G4Static, w_win: int, n_pad: int, f_pad: int):
-    def kernel(off_ref, ids_hbm, x_hbm, out_ref,
-               acc, xwin, iscr, sems, xsem):
+def _dot_nt(a: Array, b: Array) -> Array:
+    """a (M, K) @ b (N, K)^T -> (M, N) with the 2-term bf16 split on ``b``
+    (``a`` is an exact 0/1 one-hot product; same pass economics as
+    segment_sum.onehot_dot)."""
+    dims = (((1,), (1,)), ((), ()))
+    ab = a.astype(jnp.bfloat16)
+    hi = b.astype(jnp.bfloat16)
+    lo = (b - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = jax.lax.dot_general(ab, hi, dims,
+                              preferred_element_type=jnp.float32)
+    return out + jax.lax.dot_general(ab, lo, dims,
+                                     preferred_element_type=jnp.float32)
+
+
+def _gather_t(xwin_t: Array, oh: Array) -> Array:
+    """(8, W) node window gathered by a (W, B) one-hot -> (8, B).
+
+    3-term bf16 split on the positions (hi + mid + lo recovers ~24
+    mantissa bits): one-hot side exact in bf16, so three native MXU
+    passes reproduce the f32 positions to ~2^-24 relative — half the
+    passes of Precision.HIGHEST, which dominated the first on-chip
+    measurement of these kernels."""
+    dims = (((1,), (0,)), ((), ()))
+    ohb = oh.astype(jnp.bfloat16)
+    hi = xwin_t.astype(jnp.bfloat16)
+    r1 = xwin_t - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = jax.lax.dot_general(hi, ohb, dims,
+                              preferred_element_type=jnp.float32)
+    out = out + jax.lax.dot_general(mid, ohb, dims,
+                                    preferred_element_type=jnp.float32)
+    return out + jax.lax.dot_general(lo, ohb, dims,
+                                     preferred_element_type=jnp.float32)
+
+
+def _expand_mats(st: G4Static, dtype=jnp.float32):
+    """Iota-built expansion selectors: M1 (128, 8) picks set L % m onto
+    lane L; M2 (128, 16) picks relation L // m onto lane L (for lanes
+    L < R*m). Mosaic constant-folds both."""
+    m = len(st.eta_inv)
+    n_used = st.num_rel * m
+    lane = jax.lax.broadcasted_iota(jnp.int32, (128, 8), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (128, 8), 1)
+    m1 = ((lane % m == col) & (lane < n_used) & (col < m)).astype(dtype)
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (128, 16), 0)
+    col2 = jax.lax.broadcasted_iota(jnp.int32, (128, 16), 1)
+    m2 = ((lane2 // m == col2) & (lane2 < n_used)
+          & (col2 < st.num_rel)).astype(dtype)
+    return m1, m2
+
+
+def _sel_rows(st: G4Static, pair_id):
+    """(16, B): row r = [pair_id == r] (padded to the sublane tile)."""
+    rows = [(jnp.abs(pair_id - r) < 0.5).astype(jnp.float32)
+            for r in range(st.num_rel)]
+    rows += [jnp.zeros_like(pair_id)] * (16 - st.num_rel)
+    return jnp.concatenate(rows, axis=0)
+
+
+def _rep_exp_t(st: G4Static, rep_rows, sel_rows):
+    """(128, B) transposed lane expansion: row L = rep_{L%m} * sel_{L//m}
+    — two tiny constant matmuls instead of R per-relation matmuls (the
+    per-relation form wasted 15/16 of the MXU on 8-lane outputs)."""
+    m1, m2 = _expand_mats(st)
+    rep8 = jnp.pad(rep_rows, ((0, 8 - rep_rows.shape[0]), (0, 0)))
+    a = jax.lax.dot_general(m1, rep8, (((1,), (0,)), ((), ())),
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+    b = jax.lax.dot_general(m2, sel_rows, (((1,), (0,)), ((), ())),
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+    return a * b
+
+
+def _pool_rel(st: G4Static, oh_recv, rep_rows, pair_id, f_pad):
+    """(N_BLK, f_pad) block contribution: ONE full-width matmul of the
+    receiver one-hot against the transposed lane expansion."""
+    rep_exp_t = _rep_exp_t(st, rep_rows, _sel_rows(st, pair_id))
+    return _dot_nt(oh_recv, rep_exp_t)
+
+
+def _unpool_rel(st: G4Static, oh_recv, ct_blk, pair_id):
+    """Adjoint of ``_pool_rel``: (N_BLK, f_pad) block cotangent ->
+    (m, B) per-angle descriptor cotangent rows. Mirror structure:
+    gather the per-angle expanded cotangent with one full-width matmul,
+    then fold lanes back through the constant selectors."""
+    m = len(st.eta_inv)
+    # (128, B): per-angle cotangent of the expanded lanes
+    dims = (((0,), (0,)), ((), ()))
+    ohb = oh_recv.astype(jnp.bfloat16)
+    hi = ct_blk.astype(jnp.bfloat16)
+    lo = (ct_blk - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dexp = jax.lax.dot_general(hi, ohb, dims,
+                               preferred_element_type=jnp.float32)
+    dexp = dexp + jax.lax.dot_general(lo, ohb, dims,
+                                      preferred_element_type=jnp.float32)
+    m1, m2 = _expand_mats(st)
+    sel = _sel_rows(st, pair_id)
+    bsel = jax.lax.dot_general(m2, sel, (((1,), (0,)), ((), ())),
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
+    folded = jax.lax.dot_general(                         # (8, B)
+        m1, dexp * bsel, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    return folded[:m]
+
+
+def _row_mask3(x):
+    """Zero all sublanes except 0..2 of an (8, B) register."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    return jnp.where(rows < 3, x, 0.0)
+
+
+# ------------------------------------------------------------- kernels ---
+
+def _block_window(i, n_pad):
+    """Lane-aligned node window start for block i (the multiple_of hint
+    lets Mosaic prove the 128-lane DMA alignment through the clamp)."""
+    return pl.multiple_of(jax.lax.clamp(0, (i - 1) * N_BLK, n_pad - W_WIN),
+                          N_BLK)
+
+
+def _make_fwd_kernel(st: G4Static, n_pad: int, f_pad: int):
+    def kernel(off_ref, ids_hbm, x_hbm, out_ref, acc, xwin, iscr, sems,
+               xsem):
         i = pl.program_id(0)
         e0 = off_ref[i]
         e1 = off_ref[i + 1]
         start = (e0 // A_BLK) * A_BLK
         num_chunks = jax.lax.max(((e1 + A_BLK - 1 - start) // A_BLK), 0)
 
-        s_lo = jax.lax.clamp(0, i * N_BLK - (w_win - N_BLK) // 2,
-                             n_pad - w_win)
-        pltpu.make_async_copy(x_hbm.at[pl.ds(s_lo, w_win), :], xwin,
+        s_lo = _block_window(i, n_pad)
+        pltpu.make_async_copy(x_hbm.at[:, pl.ds(s_lo, W_WIN)], xwin,
                               xsem).start()
         acc[...] = jnp.zeros_like(acc)
 
-        row_base = i * N_BLK
         row_ids = jax.lax.broadcasted_iota(
-            jnp.int32, (N_BLK, A_BLK), 0) + row_base
+            jnp.int32, (N_BLK, A_BLK), 0) + i * N_BLK
         win_ids = jax.lax.broadcasted_iota(
-            jnp.int32, (w_win, A_BLK), 0) + s_lo
+            jnp.int32, (W_WIN, A_BLK), 0) + s_lo
 
-        def get_dmas(slot, chunk):
+        def dma(slot, chunk):
             a0 = start + chunk * A_BLK
-            d_ids = pltpu.make_async_copy(
+            return pltpu.make_async_copy(
                 ids_hbm.at[:, pl.ds(a0, A_BLK)], iscr.at[slot],
-                sems.at[slot, 0])
-            return (d_ids,)
+                sems.at[slot])
 
         @pl.when(num_chunks > 0)
         def _():
-            for d in get_dmas(0, 0):
-                d.start()
+            dma(0, 0).start()
 
-        pltpu.make_async_copy(x_hbm.at[pl.ds(s_lo, w_win), :], xwin,
+        pltpu.make_async_copy(x_hbm.at[:, pl.ds(s_lo, W_WIN)], xwin,
                               xsem).wait()
 
         def body(chunk, _):
             slot = chunk % 2
-            nxt = (chunk + 1) % 2
 
             @pl.when(chunk + 1 < num_chunks)
             def _():
-                for d in get_dmas(nxt, chunk + 1):
-                    d.start()
+                dma((chunk + 1) % 2, chunk + 1).start()
 
-            for d in get_dmas(slot, chunk):
-                d.wait()
-
-            ids = iscr[slot]            # (3, A_BLK) int32: i, j, k
+            dma(slot, chunk).wait()
+            ids = iscr[slot]                       # (4, A_BLK) int32
             oh_i = (ids[0:1] == win_ids).astype(jnp.float32)
             oh_j = (ids[1:2] == win_ids).astype(jnp.float32)
             oh_k = (ids[2:3] == win_ids).astype(jnp.float32)
             x = xwin[...]
-            pi = _onehot_dot_t(oh_i, x, exact=True)   # (A_BLK, 128)
-            pj = _onehot_dot_t(oh_j, x, exact=True)
-            pk = _onehot_dot_t(oh_k, x, exact=True)
+            pi = _gather_t(x, oh_i)                # (8, A_BLK)
+            pj = _gather_t(x, oh_j)
+            pk = _gather_t(x, oh_k)
 
-            vij, vik, vjk, rij, rik, rjk, cos = _geometry(pi, pj, pk)
+            _, _, _, rij, rik, rjk, cos = _geometry(pi, pj, pk)
             tabs = _tables(st, rij, rik, rjk, cos, with_derivs=False)
-            reps = _rep_sets(st, tabs)
-            pair_id = _pair_id(st, pj[:, 3:4], pk[:, 3:4])
-            rep_exp = _expand(st, reps, pair_id, f_pad)
-
+            rep_rows = _rep_rows(st, tabs)         # (m, A_BLK)
+            pair_id = _pair_id(st, pj[3:4], pk[3:4])
             oh_recv = (ids[0:1] == row_ids).astype(jnp.float32)
-            acc[...] += onehot_dot(oh_recv, rep_exp, exact=False)
+            acc[...] += _pool_rel(st, oh_recv, rep_rows, pair_id, f_pad)
             return ()
 
         jax.lax.fori_loop(0, num_chunks, body, (), unroll=False)
@@ -338,69 +425,62 @@ def _make_fwd_kernel(st: G4Static, w_win: int, n_pad: int, f_pad: int):
     return kernel
 
 
-def _make_jvp_kernel(st: G4Static, w_win: int, n_pad: int, f_pad: int):
-    def kernel(off_ref, ids_hbm, x_hbm, dx_hbm, out_ref,
-               acc, xwin, dxwin, iscr, sems, xsem, dxsem):
+def _make_jvp_kernel(st: G4Static, n_pad: int, f_pad: int):
+    def kernel(off_ref, ids_hbm, x_hbm, dx_hbm, out_ref, acc, xwin, dxwin,
+               iscr, sems, xsem, dxsem):
         i = pl.program_id(0)
         e0 = off_ref[i]
         e1 = off_ref[i + 1]
         start = (e0 // A_BLK) * A_BLK
         num_chunks = jax.lax.max(((e1 + A_BLK - 1 - start) // A_BLK), 0)
 
-        s_lo = jax.lax.clamp(0, i * N_BLK - (w_win - N_BLK) // 2,
-                             n_pad - w_win)
-        pltpu.make_async_copy(x_hbm.at[pl.ds(s_lo, w_win), :], xwin,
+        s_lo = _block_window(i, n_pad)
+        pltpu.make_async_copy(x_hbm.at[:, pl.ds(s_lo, W_WIN)], xwin,
                               xsem).start()
-        pltpu.make_async_copy(dx_hbm.at[pl.ds(s_lo, w_win), :], dxwin,
+        pltpu.make_async_copy(dx_hbm.at[:, pl.ds(s_lo, W_WIN)], dxwin,
                               dxsem).start()
         acc[...] = jnp.zeros_like(acc)
 
-        row_base = i * N_BLK
         row_ids = jax.lax.broadcasted_iota(
-            jnp.int32, (N_BLK, A_BLK), 0) + row_base
+            jnp.int32, (N_BLK, A_BLK), 0) + i * N_BLK
         win_ids = jax.lax.broadcasted_iota(
-            jnp.int32, (w_win, A_BLK), 0) + s_lo
+            jnp.int32, (W_WIN, A_BLK), 0) + s_lo
 
-        def get_dmas(slot, chunk):
+        def dma(slot, chunk):
             a0 = start + chunk * A_BLK
-            return (pltpu.make_async_copy(
-                        ids_hbm.at[:, pl.ds(a0, A_BLK)], iscr.at[slot],
-                        sems.at[slot, 0]),)
+            return pltpu.make_async_copy(
+                ids_hbm.at[:, pl.ds(a0, A_BLK)], iscr.at[slot],
+                sems.at[slot])
 
         @pl.when(num_chunks > 0)
         def _():
-            for d in get_dmas(0, 0):
-                d.start()
+            dma(0, 0).start()
 
-        pltpu.make_async_copy(x_hbm.at[pl.ds(s_lo, w_win), :], xwin,
+        pltpu.make_async_copy(x_hbm.at[:, pl.ds(s_lo, W_WIN)], xwin,
                               xsem).wait()
-        pltpu.make_async_copy(dx_hbm.at[pl.ds(s_lo, w_win), :], dxwin,
+        pltpu.make_async_copy(dx_hbm.at[:, pl.ds(s_lo, W_WIN)], dxwin,
                               dxsem).wait()
 
         def body(chunk, _):
             slot = chunk % 2
-            nxt = (chunk + 1) % 2
 
             @pl.when(chunk + 1 < num_chunks)
             def _():
-                for d in get_dmas(nxt, chunk + 1):
-                    d.start()
+                dma((chunk + 1) % 2, chunk + 1).start()
 
-            for d in get_dmas(slot, chunk):
-                d.wait()
-
+            dma(slot, chunk).wait()
             ids = iscr[slot]
             oh_i = (ids[0:1] == win_ids).astype(jnp.float32)
             oh_j = (ids[1:2] == win_ids).astype(jnp.float32)
             oh_k = (ids[2:3] == win_ids).astype(jnp.float32)
             x = xwin[...]
             dx = dxwin[...]
-            pi = _onehot_dot_t(oh_i, x, exact=True)
-            pj = _onehot_dot_t(oh_j, x, exact=True)
-            pk = _onehot_dot_t(oh_k, x, exact=True)
-            dpi = _onehot_dot_t(oh_i, dx, exact=True)
-            dpj = _onehot_dot_t(oh_j, dx, exact=True)
-            dpk = _onehot_dot_t(oh_k, dx, exact=True)
+            pi = _gather_t(x, oh_i)
+            pj = _gather_t(x, oh_j)
+            pk = _gather_t(x, oh_k)
+            dpi = _gather_t(dx, oh_i)
+            dpj = _gather_t(dx, oh_j)
+            dpk = _gather_t(dx, oh_k)
 
             vij, vik, vjk, rij, rik, rjk, cos = _geometry(pi, pj, pk)
             dvij = dpj - dpi
@@ -414,12 +494,10 @@ def _make_jvp_kernel(st: G4Static, w_win: int, n_pad: int, f_pad: int):
                 - cos * (drij / rij + drik / rik)
 
             tabs = _tables(st, rij, rik, rjk, cos, with_derivs=True)
-            dreps = _drep_sets(st, tabs, dcos, ds2, drij, drik, drjk)
-            pair_id = _pair_id(st, pj[:, 3:4], pk[:, 3:4])
-            drep_exp = _expand(st, dreps, pair_id, f_pad)
-
+            drep_rows = _drep_rows(st, tabs, dcos, ds2, drij, drik, drjk)
+            pair_id = _pair_id(st, pj[3:4], pk[3:4])
             oh_recv = (ids[0:1] == row_ids).astype(jnp.float32)
-            acc[...] += onehot_dot(oh_recv, drep_exp, exact=False)
+            acc[...] += _pool_rel(st, oh_recv, drep_rows, pair_id, f_pad)
             return ()
 
         jax.lax.fori_loop(0, num_chunks, body, (), unroll=False)
@@ -428,7 +506,7 @@ def _make_jvp_kernel(st: G4Static, w_win: int, n_pad: int, f_pad: int):
     return kernel
 
 
-def _make_vjp_kernel(st: G4Static, w_win: int, n_pad: int, f_pad: int):
+def _make_vjp_kernel(st: G4Static, n_pad: int, f_pad: int):
     def kernel(off_ref, ids_hbm, x_hbm, ct_hbm, dpi_ref, dwin_ref,
                acc_i, acc_w, xwin, ctblk, iscr, sems, xsem, ctsem):
         i = pl.program_id(0)
@@ -437,80 +515,71 @@ def _make_vjp_kernel(st: G4Static, w_win: int, n_pad: int, f_pad: int):
         start = (e0 // A_BLK) * A_BLK
         num_chunks = jax.lax.max(((e1 + A_BLK - 1 - start) // A_BLK), 0)
 
-        s_lo = jax.lax.clamp(0, i * N_BLK - (w_win - N_BLK) // 2,
-                             n_pad - w_win)
-        pltpu.make_async_copy(x_hbm.at[pl.ds(s_lo, w_win), :], xwin,
+        s_lo = _block_window(i, n_pad)
+        pltpu.make_async_copy(x_hbm.at[:, pl.ds(s_lo, W_WIN)], xwin,
                               xsem).start()
         pltpu.make_async_copy(ct_hbm.at[pl.ds(i * N_BLK, N_BLK), :], ctblk,
                               ctsem).start()
         acc_i[...] = jnp.zeros_like(acc_i)
         acc_w[...] = jnp.zeros_like(acc_w)
 
-        row_base = i * N_BLK
         row_ids = jax.lax.broadcasted_iota(
-            jnp.int32, (N_BLK, A_BLK), 0) + row_base
+            jnp.int32, (N_BLK, A_BLK), 0) + i * N_BLK
         win_ids = jax.lax.broadcasted_iota(
-            jnp.int32, (w_win, A_BLK), 0) + s_lo
+            jnp.int32, (W_WIN, A_BLK), 0) + s_lo
 
-        def get_dmas(slot, chunk):
+        def dma(slot, chunk):
             a0 = start + chunk * A_BLK
-            return (pltpu.make_async_copy(
-                        ids_hbm.at[:, pl.ds(a0, A_BLK)], iscr.at[slot],
-                        sems.at[slot, 0]),)
+            return pltpu.make_async_copy(
+                ids_hbm.at[:, pl.ds(a0, A_BLK)], iscr.at[slot],
+                sems.at[slot])
 
         @pl.when(num_chunks > 0)
         def _():
-            for d in get_dmas(0, 0):
-                d.start()
+            dma(0, 0).start()
 
-        pltpu.make_async_copy(x_hbm.at[pl.ds(s_lo, w_win), :], xwin,
+        pltpu.make_async_copy(x_hbm.at[:, pl.ds(s_lo, W_WIN)], xwin,
                               xsem).wait()
         pltpu.make_async_copy(ct_hbm.at[pl.ds(i * N_BLK, N_BLK), :], ctblk,
                               ctsem).wait()
 
         def body(chunk, _):
             slot = chunk % 2
-            nxt = (chunk + 1) % 2
 
             @pl.when(chunk + 1 < num_chunks)
             def _():
-                for d in get_dmas(nxt, chunk + 1):
-                    d.start()
+                dma((chunk + 1) % 2, chunk + 1).start()
 
-            for d in get_dmas(slot, chunk):
-                d.wait()
-
+            dma(slot, chunk).wait()
             ids = iscr[slot]
             oh_i = (ids[0:1] == win_ids).astype(jnp.float32)
             oh_j = (ids[1:2] == win_ids).astype(jnp.float32)
             oh_k = (ids[2:3] == win_ids).astype(jnp.float32)
             x = xwin[...]
-            pi = _onehot_dot_t(oh_i, x, exact=True)
-            pj = _onehot_dot_t(oh_j, x, exact=True)
-            pk = _onehot_dot_t(oh_k, x, exact=True)
+            pi = _gather_t(x, oh_i)
+            pj = _gather_t(x, oh_j)
+            pk = _gather_t(x, oh_k)
 
             vij, vik, vjk, rij, rik, rjk, cos = _geometry(pi, pj, pk)
             tabs = _tables(st, rij, rik, rjk, cos, with_derivs=True)
-            pair_id = _pair_id(st, pj[:, 3:4], pk[:, 3:4])
-
-            # gather this chunk's rows of ct: (A_BLK, f_pad)
+            pair_id = _pair_id(st, pj[3:4], pk[3:4])
             oh_recv = (ids[0:1] == row_ids).astype(jnp.float32)
-            drep_exp = _onehot_dot_t(oh_recv, ctblk[...], exact=True)
-            drep_list = _collapse(st, drep_exp, pair_id)
+            drep_rows = _unpool_rel(st, oh_recv, ctblk[...], pair_id)
             a_cos, a_s2, a_rij, a_rik, a_rjk = _rep_coeffs(
-                st, tabs, drep_list)
+                st, tabs, drep_rows)
             d_vij, d_vik, d_vjk = _dv_from_coeffs(
                 a_cos, a_s2, a_rij, a_rik, a_rjk,
                 vij, vik, vjk, rij, rik, rjk, cos)
-            d_pi = -(d_vij + d_vik)
-            d_pj = d_vij - d_vjk
-            d_pk = d_vik + d_vjk
+            d_pi = _row_mask3(-(d_vij + d_vik))    # (8, A_BLK)
+            d_pj = _row_mask3(d_vij - d_vjk)
+            d_pk = _row_mask3(d_vik + d_vjk)
 
-            # scatter: center contributions to this block's own rows,
-            # neighbor contributions to the window accumulator
-            acc_i[...] += onehot_dot(oh_recv, d_pi, exact=False)
-            acc_w[...] += onehot_dot(oh_j, d_pj, exact=False)
-            acc_w[...] += onehot_dot(oh_k, d_pk, exact=False)
+            # scatter: center rows into this block, neighbors into the
+            # window accumulator ((., 8) results padded to the lane tile)
+            ci = _dot_nt(oh_recv, d_pi)            # (N_BLK, 8)
+            acc_i[...] += jnp.pad(ci, ((0, 0), (0, 128 - 8)))
+            cw = _dot_nt(oh_j, d_pj) + _dot_nt(oh_k, d_pk)  # (W_WIN, 8)
+            acc_w[...] += jnp.pad(cw, ((0, 0), (0, 128 - 8)))
             return ()
 
         jax.lax.fori_loop(0, num_chunks, body, (), unroll=False)
@@ -524,11 +593,11 @@ def _make_vjp_kernel(st: G4Static, w_win: int, n_pad: int, f_pad: int):
 
 def _prep(angles: Array, angle_mask: Array, n_node: int, max_nodes: int):
     """Static padding/shapes shared by all three kernels."""
+    assert max_nodes <= N_BLK, \
+        f"fused G4 window needs max_nodes <= {N_BLK}, got {max_nodes}"
     a = angles.shape[0]
     a_pad = ((a + A_BLK - 1) // A_BLK) * A_BLK
-    n_pad = ((n_node + N_BLK - 1) // N_BLK) * N_BLK
-    margin = ((max_nodes + 8) // 8) * 8
-    w_win = min(n_pad, N_BLK + 2 * margin)
+    n_pad = max(((n_node + N_BLK - 1) // N_BLK) * N_BLK, W_WIN)
     # (4, A): rows i, j, k + one zero pad row (int32 sublane tiling needs
     # the leading dim aligned to 4 for HBM->VMEM slices)
     ids = jnp.transpose(angles[:, :3]).astype(jnp.int32)
@@ -543,15 +612,15 @@ def _prep(angles: Array, angle_mask: Array, n_node: int, max_nodes: int):
     centers = ids[0]
     bounds = jnp.arange(0, n_pad + 1, N_BLK, dtype=jnp.int32)
     offsets = jnp.searchsorted(centers, bounds, side="left").astype(jnp.int32)
-    return ids, offsets, a_pad, n_pad, w_win
+    return ids, offsets, a_pad, n_pad
 
 
-def _pack_table(pos: Array, z: Array, n_pad: int) -> Array:
-    """(N_pad, 128) f32: lanes 0..2 = positions, lane 3 = atomic number."""
+def _pack_table_t(pos: Array, z: Array, n_pad: int) -> Array:
+    """(8, N_pad) f32: sublanes 0..2 = xyz, sublane 3 = atomic number."""
     n = pos.shape[0]
-    out = jnp.zeros((n_pad, 128), jnp.float32)
-    out = out.at[:n, :3].set(pos.astype(jnp.float32))
-    out = out.at[:n, 3].set(z.astype(jnp.float32))
+    out = jnp.zeros((8, n_pad), jnp.float32)
+    out = out.at[:3, :n].set(jnp.transpose(pos).astype(jnp.float32))
+    out = out.at[3, :n].set(z.astype(jnp.float32))
     return out
 
 
@@ -559,9 +628,8 @@ def _pack_table(pos: Array, z: Array, n_pad: int) -> Array:
                                               "f_out", "interpret"))
 def _g4_fwd(pos, z, angles, angle_mask, st: G4Static, n_node: int,
             max_nodes: int, f_out: int, interpret: bool = False):
-    ids, offsets, a_pad, n_pad, w_win = _prep(
-        angles, angle_mask, n_node, max_nodes)
-    x = _pack_table(pos, z, n_pad)
+    ids, offsets, a_pad, n_pad = _prep(angles, angle_mask, n_node, max_nodes)
+    x = _pack_table_t(pos, z, n_pad)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_pad // N_BLK,),
@@ -570,13 +638,13 @@ def _g4_fwd(pos, z, angles, angle_mask, st: G4Static, n_node: int,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((N_BLK, 128), jnp.float32),
-            pltpu.VMEM((w_win, 128), jnp.float32),
+            pltpu.VMEM((8, W_WIN), jnp.float32),
             pltpu.VMEM((2, 4, A_BLK), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, 1)),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ])
     out = pl.pallas_call(
-        _make_fwd_kernel(st, w_win, n_pad, 128),
+        _make_fwd_kernel(st, n_pad, 128),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
         interpret=interpret,
@@ -588,10 +656,9 @@ def _g4_fwd(pos, z, angles, angle_mask, st: G4Static, n_node: int,
                                               "f_out", "interpret"))
 def _g4_jvp(pos, z, angles, angle_mask, dpos, st: G4Static, n_node: int,
             max_nodes: int, f_out: int, interpret: bool = False):
-    ids, offsets, a_pad, n_pad, w_win = _prep(
-        angles, angle_mask, n_node, max_nodes)
-    x = _pack_table(pos, z, n_pad)
-    dx = _pack_table(dpos, jnp.zeros_like(z), n_pad)
+    ids, offsets, a_pad, n_pad = _prep(angles, angle_mask, n_node, max_nodes)
+    x = _pack_table_t(pos, z, n_pad)
+    dx = _pack_table_t(dpos, jnp.zeros_like(z), n_pad)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_pad // N_BLK,),
@@ -600,15 +667,15 @@ def _g4_jvp(pos, z, angles, angle_mask, dpos, st: G4Static, n_node: int,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((N_BLK, 128), jnp.float32),
-            pltpu.VMEM((w_win, 128), jnp.float32),
-            pltpu.VMEM((w_win, 128), jnp.float32),
+            pltpu.VMEM((8, W_WIN), jnp.float32),
+            pltpu.VMEM((8, W_WIN), jnp.float32),
             pltpu.VMEM((2, 4, A_BLK), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, 1)),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ])
     out = pl.pallas_call(
-        _make_jvp_kernel(st, w_win, n_pad, 128),
+        _make_jvp_kernel(st, n_pad, 128),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
         interpret=interpret,
@@ -620,9 +687,8 @@ def _g4_jvp(pos, z, angles, angle_mask, dpos, st: G4Static, n_node: int,
                                               "f_out", "interpret"))
 def _g4_vjp(pos, z, angles, angle_mask, ct, st: G4Static, n_node: int,
             max_nodes: int, f_out: int, interpret: bool = False):
-    ids, offsets, a_pad, n_pad, w_win = _prep(
-        angles, angle_mask, n_node, max_nodes)
-    x = _pack_table(pos, z, n_pad)
+    ids, offsets, a_pad, n_pad = _prep(angles, angle_mask, n_node, max_nodes)
+    x = _pack_table_t(pos, z, n_pad)
     ct_pad = jnp.zeros((n_pad, 128), jnp.float32)
     ct_pad = ct_pad.at[:n_node, :f_out].set(ct.astype(jnp.float32))
     n_blocks = n_pad // N_BLK
@@ -633,34 +699,33 @@ def _g4_vjp(pos, z, angles, angle_mask, ct, st: G4Static, n_node: int,
         out_specs=[
             pl.BlockSpec((N_BLK, 128), lambda i, off: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, w_win, 128), lambda i, off: (i, 0, 0),
+            pl.BlockSpec((1, W_WIN, 128), lambda i, off: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((N_BLK, 128), jnp.float32),
-            pltpu.VMEM((w_win, 128), jnp.float32),
-            pltpu.VMEM((w_win, 128), jnp.float32),
+            pltpu.VMEM((W_WIN, 128), jnp.float32),
+            pltpu.VMEM((8, W_WIN), jnp.float32),
             pltpu.VMEM((N_BLK, 128), jnp.float32),
             pltpu.VMEM((2, 4, A_BLK), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, 1)),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ])
     d_center, d_win = pl.pallas_call(
-        _make_vjp_kernel(st, w_win, n_pad, 128),
+        _make_vjp_kernel(st, n_pad, 128),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
-                   jax.ShapeDtypeStruct((n_blocks, w_win, 128), jnp.float32)],
+                   jax.ShapeDtypeStruct((n_blocks, W_WIN, 128), jnp.float32)],
         interpret=interpret,
     )(offsets, ids, x, ct_pad)
     # combine: center rows + per-block neighbor windows at their offsets
     dpos_full = d_center
-    half = (w_win - N_BLK) // 2
     for b in range(n_blocks):
-        s_lo = min(max(b * N_BLK - half, 0), n_pad - w_win)
+        s_lo = min(max((b - 1) * N_BLK, 0), n_pad - W_WIN)
         dpos_full = jax.lax.dynamic_update_slice(
             dpos_full,
-            jax.lax.dynamic_slice(dpos_full, (s_lo, 0), (w_win, 128))
+            jax.lax.dynamic_slice(dpos_full, (s_lo, 0), (W_WIN, 128))
             + d_win[b], (s_lo, 0))
     return dpos_full[:n_node, :3]
 
@@ -677,6 +742,7 @@ def acsf_g4_fused(pos: Array, z: Array, angles: Array, angle_mask: Array,
     m = len(st.eta_inv)
     f_out = st.num_rel * m
     assert f_out <= 128, f"R*m={f_out} exceeds one lane tile"
+    assert m <= 8, f"m={m} sets exceed the sublane tile"
 
     @functools.partial(jax.custom_jvp, nondiff_argnums=(1, 2, 3))
     def g4(pos, st_, n_node_, max_nodes_):
