@@ -160,10 +160,15 @@ class ACSFG4(nn.Module):
     # Fully fused Pallas path (ops/pallas/fused_g4.py): the whole
     # gather->geometry->transcendentals->expansion->pool pipeline in VMEM,
     # AD-closed (fwd/jvp/vjp kernels) so force training rides fused kernels
-    # at every traversal. Requires: TPU, shared grid-constant param table,
-    # default pair mapping, R*m <= 128, single-device batch. Falls back to
-    # the unfused path otherwise.
-    fused: bool = False
+    # at every traversal — measured 1.62x on the FULL flagship HDNNP4th
+    # train step (10.78 -> 6.67 ms, tools/ab_fused_g4_step.py; G4
+    # force-traversal alone 5.14 -> 1.98 ms). None (default) = AUTO:
+    # fused on TPU when eligible (shared grid-constant param table,
+    # default pair mapping, R*m <= 128, m <= 8 sets, max_nodes <= 128,
+    # single-device batch), unfused otherwise. True forces (raises if
+    # ineligible); False forces the unfused path (f32-exact; the fused
+    # kernels carry ~1e-5 bf16-split noise like the segment-sum default).
+    fused: Optional[bool] = None
 
     @staticmethod
     def make_param_table(eta: Sequence[float], zeta: Sequence[float],
@@ -214,13 +219,22 @@ class ACSFG4(nn.Module):
         z = z if z is not None else batch.nodes["node_number"].astype(jnp.int32)
         pos = positions if positions is not None else batch.nodes["node_coordinates"]
 
-        if (self.fused and batch.part_axis is None and not per_target
-                and self.element_pair_mapping is None
-                and jax.default_backend() == "tpu"):
+        if self.fused is not False and batch.part_axis is None \
+                and not per_target and self.element_pair_mapping is None \
+                and jax.default_backend() == "tpu":
             from ...ops.pallas import fused_g4
             grid = table.reshape(-1, table.shape[-2], 4)
-            if bool(np.all(grid == grid[0:1])) \
-                    and num_rel * table.shape[-2] <= 128:
+            m_sets = table.shape[-2]
+            eligible = (bool(np.all(grid == grid[0:1]))
+                        and num_rel * m_sets <= 128 and m_sets <= 8
+                        and batch.max_nodes <= 128)
+            if self.fused and not eligible:
+                raise ValueError(
+                    "ACSFG4(fused=True) but the configuration is not "
+                    "eligible for the fused kernels (needs a shared "
+                    "grid-constant table, R*m <= 128, m <= 8, "
+                    "max_nodes <= 128)")
+            if eligible:
                 st = fused_g4.make_static(table, self.element_mapping,
                                           self.keep_pair_order,
                                           self.multiplicity)
