@@ -225,9 +225,14 @@ class ACSFG4(nn.Module):
             from ...ops.pallas import fused_g4
             grid = table.reshape(-1, table.shape[-2], 4)
             m_sets = table.shape[-2]
+            # size gate (auto mode only): below ~8k angles the kernels'
+            # fixed per-block costs beat the fusion win — measured 404 vs
+            # 388 us/MD-step on a 1.3k-angle single-molecule trajectory
+            # vs 1.62x at the 100k-angle flagship batch
+            big_enough = self.fused or batch.angles.shape[0] >= 8192
             eligible = (bool(np.all(grid == grid[0:1]))
                         and num_rel * m_sets <= 128 and m_sets <= 8
-                        and batch.max_nodes <= 128)
+                        and batch.max_nodes <= 128 and big_enough)
             if self.fused and not eligible:
                 raise ValueError(
                     "ACSFG4(fused=True) but the configuration is not "
