@@ -123,20 +123,32 @@ def evaluate_model(ds, fmodel, params,
         return error_dict
 
     stage_ds, out, gm, nm, z_list = test_stage
-    # extxyz with ref+pred columns for the last evaluated (test) stage
+    # extxyz with ref+pred columns for the last evaluated (test) stage —
+    # in RAW label units like every other artifact (the flats were
+    # inverse-transformed above; un-scale the per-frame values the same
+    # way, reference writes raw-eV geometries)
     from ..utils.save_load_utils import save_extxyz
     frames = []
     offset_n = 0
-    pred_e_full = out["energy"].reshape(-1)
+    pred_e_full = np.asarray(out["energy"]).reshape(-1)[:len(z_list)]
+    ref_e_full = np.array([float(np.asarray(g.get("energy", [np.nan]))
+                                 .reshape(-1)[0]) for g in stage_ds])
+    f_scale = 1.0
+    if scaler is not None and getattr(scaler, "scale_", None) is not None:
+        pred_e_full = np.asarray(scaler.inverse_transform(pred_e_full,
+                                                          z_list))
+        ref_e_full = np.asarray(scaler.inverse_transform(ref_e_full,
+                                                         z_list))
+        f_scale = float(scaler.scale_[0])
     for gi, g in enumerate(stage_ds):
         n = len(np.asarray(g["node_number"]))
         fr = {"node_number": np.asarray(g["node_number"]),
               "node_coordinates": np.asarray(g["node_coordinates"]),
-              "ref_energy": np.asarray(g.get("energy", [np.nan])).reshape(-1)[:1],
-              "pred_energy": np.asarray([pred_e_full[gi]])}
+              "ref_energy": ref_e_full[gi:gi + 1],
+              "pred_energy": pred_e_full[gi:gi + 1]}
         if "force" in g:
-            fr["ref_forces"] = np.asarray(g["force"])
-            fr["pred_forces"] = out["force"][offset_n:offset_n + n] \
+            fr["ref_forces"] = np.asarray(g["force"]) * f_scale
+            fr["pred_forces"] = out["force"][offset_n:offset_n + n] * f_scale \
                 if "force" in out else np.full((n, 3), np.nan)
         if "charge" in g:
             fr["ref_charges"] = np.asarray(g["charge"]).reshape(n, -1)[:, 0]
