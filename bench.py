@@ -69,13 +69,33 @@ def _remaining():
     return _BUDGET - (time.monotonic() - _T0)
 
 
-def _emit_once():
+def _emit_once(status=None):
+    """Print the ONE json line. Sections mutate RECORD from the main
+    thread while the watchdog may serialize it concurrently — serialize
+    under the lock with a retry, and only mark printed after the print
+    actually happened (a mid-dump 'dict changed size' must never eat the
+    record)."""
     global _PRINTED
     with _LOCK:
         if _PRINTED:
             return
+        if status is not None:
+            RECORD["status"] = status
+        line = None
+        for _ in range(5):
+            try:
+                line = json.dumps(RECORD)
+                break
+            except RuntimeError:  # racing mutation during iteration
+                time.sleep(0.05)
+        if line is None:  # last resort: minimal but valid record
+            line = json.dumps({
+                "metric": RECORD["metric"], "value": RECORD.get("value"),
+                "unit": RECORD["unit"],
+                "vs_baseline": RECORD.get("vs_baseline"),
+                "status": "emit_race"})
+        print(line, flush=True)
         _PRINTED = True
-        print(json.dumps(RECORD), flush=True)
 
 
 def _watchdog():
@@ -87,8 +107,7 @@ def _watchdog():
     with _LOCK:
         if _PRINTED:
             return
-    RECORD["status"] = "budget_exceeded (partial record; watchdog emit)"
-    _emit_once()
+    _emit_once(status="budget_exceeded (partial record; watchdog emit)")
     os._exit(0)
 
 
@@ -368,7 +387,12 @@ def sec_hdnnp_scan(jax, ctx):
 
 
 def sec_hdnnp_qeq(jax, jnp, ctx):
-    """Qeq dense charge solve alone (the reference's O(M^3) wall)."""
+    """Qeq dense charge solve alone (the reference's O(M^3) wall).
+
+    CAVEAT: this is a dispatch-loop measurement of a sub-ms program — the
+    reported ms is mostly the tunnel's fixed launch latency (the batched
+    22x22 LU itself measures 0.026 ms device time at these shapes);
+    treat as an upper bound / regression signal only."""
     from gcnn_keras_tpu.layers.conv.hdnnp_electro import CENTCharge
 
     _, args, _, _ = ctx

@@ -177,6 +177,11 @@ def main():
         times.append(time.process_time() - t0)
         if cfg["use_wandb"]:
             finish_wandb()
+        if "loss" not in hist:
+            raise RuntimeError(
+                "epoch produced no training steps — the loader must yield "
+                "at least one batch per epoch (raise synthetic_frames / "
+                "lower batch_size)")
         params, opt_state = state.params, state.opt_state
         histories.append(hist)
 

@@ -219,27 +219,43 @@ class ACSFG4(nn.Module):
         z = z if z is not None else batch.nodes["node_number"].astype(jnp.int32)
         pos = positions if positions is not None else batch.nodes["node_coordinates"]
 
-        if self.fused is not False and batch.part_axis is None \
-                and not per_target and self.element_pair_mapping is None \
-                and jax.default_backend() == "tpu":
-            from ...ops.pallas import fused_g4
+        if self.fused is not False:
             grid = table.reshape(-1, table.shape[-2], 4)
             m_sets = table.shape[-2]
+            elems = np.asarray(self.element_mapping)
+            reasons = []
+            if batch.part_axis is not None:
+                reasons.append("edge-partitioned batch")
+            if per_target:
+                reasons.append("per-target parameter table")
+            if self.element_pair_mapping is not None:
+                reasons.append("custom element_pair_mapping")
+            if jax.default_backend() != "tpu":
+                reasons.append("non-TPU backend")
+            if not bool(np.all(grid == grid[0:1])):
+                reasons.append("non-grid-constant parameter table")
+            if num_rel * m_sets > 128:
+                reasons.append(f"R*m={num_rel * m_sets} > 128")
+            if m_sets > 8:
+                reasons.append(f"m={m_sets} > 8 sets")
+            if batch.max_nodes > 128:
+                reasons.append(f"max_nodes={batch.max_nodes} > 128")
+            if not bool(np.all(np.diff(elems) > 0)):
+                # the fused in-kernel pair-slot formula assumes sorted
+                # element slots (make_param_table sorts; hand-built
+                # unsorted mappings would silently permute columns)
+                reasons.append("unsorted element_mapping")
+            if self.fused and reasons:
+                raise ValueError(
+                    "ACSFG4(fused=True) but the configuration is not "
+                    "eligible for the fused kernels: " + "; ".join(reasons))
             # size gate (auto mode only): below ~8k angles the kernels'
             # fixed per-block costs beat the fusion win — measured 404 vs
             # 388 us/MD-step on a 1.3k-angle single-molecule trajectory
             # vs 1.62x at the 100k-angle flagship batch
-            big_enough = self.fused or batch.angles.shape[0] >= 8192
-            eligible = (bool(np.all(grid == grid[0:1]))
-                        and num_rel * m_sets <= 128 and m_sets <= 8
-                        and batch.max_nodes <= 128 and big_enough)
-            if self.fused and not eligible:
-                raise ValueError(
-                    "ACSFG4(fused=True) but the configuration is not "
-                    "eligible for the fused kernels (needs a shared "
-                    "grid-constant table, R*m <= 128, m <= 8, "
-                    "max_nodes <= 128)")
-            if eligible:
+            big_enough = bool(self.fused) or batch.angles.shape[0] >= 8192
+            if not reasons and big_enough:
+                from ...ops.pallas import fused_g4
                 st = fused_g4.make_static(table, self.element_mapping,
                                           self.keep_pair_order,
                                           self.multiplicity)

@@ -150,14 +150,16 @@ def _transposable_pcg(matvec, precond, b: Array, tol: float,
     whose solve closure has NO b-dependent constants.
 
     ``jax.scipy.sparse.linalg.cg`` bakes ``tol^2 * <b, b>`` into its solve
-    jaxpr — a b-DERIVED const. That is fine for plain reverse mode (the
-    transpose RULE runs with primal params), but when a solve call is
-    STAGED with an unknown rhs (the recursive tangent call of
-    ``_qeq_rows_custom`` under any outer differentiation), the const
+    jaxpr — a const derived from the OUTER b. That is fine for plain
+    reverse mode (the transpose RULE runs with primal params), but when a
+    solve call is STAGED with an unknown rhs (the recursive tangent call
+    of ``_qeq_rows_custom`` under any outer differentiation), the const
     becomes an undefined primal and ``custom_linear_solve``'s transpose
-    raises NotImplementedError (jax solves.py:404). Here the stopping
-    threshold is a STATIC absolute tolerance, so every const is
-    rhs-independent and the call transposes in any staging context."""
+    raises NotImplementedError (jax solves.py:404). Here the SAME
+    relative threshold is computed INSIDE the solve closure from its own
+    rhs argument, so no const depends on b and the call transposes in any
+    staging context (an absolute threshold would be unreachable in f32
+    for well-scaled systems and spin every solve to maxiter)."""
     maxiter = maxiter if maxiter is not None else 10 * b.shape[0]
     tol2 = float(tol) * float(tol)
 
@@ -166,11 +168,12 @@ def _transposable_pcg(matvec, precond, b: Array, tol: float,
         r0 = bb
         z0 = precond(r0)
         gamma0 = jnp.sum(r0 * z0)
+        thresh = tol2 * jnp.sum(bb * bb)
 
         # carry: x, r, z, p, gamma, k
         def cond2(c):
             _, r, _, _, _, k = c
-            return (jnp.sum(r * r) > tol2) & (k < maxiter)
+            return (jnp.sum(r * r) > thresh) & (k < maxiter)
 
         def body2(c):
             x, r, z, p, gamma, k = c

@@ -100,7 +100,7 @@ def make_static(table: np.ndarray, elements: Sequence[int],
         eta_inv=tuple(int(v) for v in eta_inv),
         zl_inv=tuple(int(v) for v in zl_inv),
         rc_inv=tuple(int(v) for v in rc_inv),
-        elements=tuple(int(z) for z in np.sort(np.asarray(elements))),
+        elements=tuple(int(z) for z in np.asarray(elements)),
         keep_pair_order=bool(keep_pair_order),
         num_rel=int(num_rel),
         scale=1.0 / float(multiplicity) if multiplicity else 1.0)
@@ -145,12 +145,16 @@ def _tables(st: G4Static, rij, rik, rjk, cos, with_derivs: bool):
     e = [jnp.exp(-eta * s2) for eta in st.uniq_eta]
     c, dc = [], []
     for zeta, lam in st.uniq_zl:
-        base = jnp.maximum(cos * lam + 1.0, 1e-30)
+        raw = cos * lam + 1.0
+        base = jnp.maximum(raw, 1e-30)
         p = (2.0 ** (1.0 - zeta)) * jnp.power(base, zeta)
         c.append(p)
         if with_derivs:
+            # match autodiff-through-jnp.maximum: zero derivative on the
+            # clamped branch (exactly collinear angles hit raw <= 1e-30)
+            live = (raw > 1e-30).astype(cos.dtype)
             dc.append((2.0 ** (1.0 - zeta)) * zeta * lam
-                      * jnp.power(base, zeta - 1.0))
+                      * jnp.power(base, zeta - 1.0) * live)
     f, df_ij, df_ik, df_jk = [], [], [], []
     for rc in st.uniq_rc:
         fij = _cutoff(rij, rc)
@@ -274,27 +278,33 @@ def _gather_t(xwin_t: Array, oh: Array) -> Array:
                                      preferred_element_type=jnp.float32)
 
 
+def _rel_pad(st: G4Static) -> int:
+    """Relation rows padded to the 8-sublane tile (any R <= 128 works)."""
+    return ((st.num_rel + 7) // 8) * 8
+
+
 def _expand_mats(st: G4Static, dtype=jnp.float32):
     """Iota-built expansion selectors: M1 (128, 8) picks set L % m onto
-    lane L; M2 (128, 16) picks relation L // m onto lane L (for lanes
+    lane L; M2 (128, R_pad) picks relation L // m onto lane L (for lanes
     L < R*m). Mosaic constant-folds both."""
     m = len(st.eta_inv)
     n_used = st.num_rel * m
+    r_pad = _rel_pad(st)
     lane = jax.lax.broadcasted_iota(jnp.int32, (128, 8), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (128, 8), 1)
     m1 = ((lane % m == col) & (lane < n_used) & (col < m)).astype(dtype)
-    lane2 = jax.lax.broadcasted_iota(jnp.int32, (128, 16), 0)
-    col2 = jax.lax.broadcasted_iota(jnp.int32, (128, 16), 1)
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (128, r_pad), 0)
+    col2 = jax.lax.broadcasted_iota(jnp.int32, (128, r_pad), 1)
     m2 = ((lane2 // m == col2) & (lane2 < n_used)
           & (col2 < st.num_rel)).astype(dtype)
     return m1, m2
 
 
 def _sel_rows(st: G4Static, pair_id):
-    """(16, B): row r = [pair_id == r] (padded to the sublane tile)."""
+    """(R_pad, B): row r = [pair_id == r] (padded to the sublane tile)."""
     rows = [(jnp.abs(pair_id - r) < 0.5).astype(jnp.float32)
             for r in range(st.num_rel)]
-    rows += [jnp.zeros_like(pair_id)] * (16 - st.num_rel)
+    rows += [jnp.zeros_like(pair_id)] * (_rel_pad(st) - st.num_rel)
     return jnp.concatenate(rows, axis=0)
 
 

@@ -51,18 +51,65 @@ def _write_csv(path: str, columns: Dict[str, np.ndarray]):
             f.write(",".join(str(columns[k][i]) for k in keys) + "\n")
 
 
+def _predict_stage(stage_ds, fmodel, params, global_keys, batch_size):
+    """Predict a whole split in LOADER-SIZED chunks (never one giant
+    padded batch — a full train split in one batch OOMs or forces a
+    one-off multi-minute compile at 10-50x the trained shape). Returns
+    dataset-ordered concatenated arrays of REAL entries only."""
+    from ..data.loader import GraphBatchLoader
+
+    graphs = list(stage_ds)
+    hint = stage_ds.batch_shape_hint(min(batch_size, len(graphs))) \
+        if hasattr(stage_ds, "batch_shape_hint") else {}
+    loader = GraphBatchLoader(graphs, min(batch_size, len(graphs)),
+                              shuffle=False, drop_last=False,
+                              global_keys=global_keys, **hint)
+    pred_e, true_e, pred_f, true_f, pred_q, true_q = [], [], [], [], [], []
+    has_f = has_q = False
+    for batch in loader:
+        out = {k: np.asarray(v) for k, v in
+               fmodel.apply(params, batch, train=False).items()
+               if hasattr(v, "shape")}
+        gm = np.asarray(batch.globals["graph_mask"], bool).reshape(-1)
+        nm = np.asarray(batch.node_mask, bool)
+        pred_e.append(out["energy"].reshape(batch.n_graphs, -1)[:, 0][gm])
+        true_e.append(np.asarray(batch.globals["energy"]).reshape(
+            batch.n_graphs, -1)[:, 0][gm])
+        if "force" in out and "force" in batch.nodes:
+            has_f = True
+            pred_f.append(out["force"][nm])
+            true_f.append(np.asarray(batch.nodes["force"])[nm])
+        if "charge" in out and "charge" in batch.nodes:
+            has_q = True
+            pred_q.append(out["charge"].reshape(len(nm), -1)[:, 0][nm])
+            true_q.append(np.asarray(
+                batch.nodes["charge"]).reshape(len(nm), -1)[:, 0][nm])
+    res = {"pred_e": np.concatenate(pred_e), "true_e": np.concatenate(true_e)}
+    if has_f:
+        res["pred_f"] = np.concatenate(pred_f)
+        res["true_f"] = np.concatenate(true_f)
+    if has_q:
+        res["pred_q"] = np.concatenate(pred_q)
+        res["true_q"] = np.concatenate(true_q)
+    return res
+
+
 def evaluate_model(ds, fmodel, params,
                    indices: Sequence[np.ndarray],
                    scaler=None, model_index: Optional[int] = None,
                    output_dir: str = "", dataset_name: str = "",
                    model_name: str = "model",
                    global_keys: Tuple[str, ...] = ("energy", "total_charge"),
-                   make_plots: bool = True) -> Dict[str, float]:
+                   make_plots: bool = True,
+                   eval_batch_size: int = 32) -> Dict[str, float]:
     """Evaluate on train/val/test splits and write the artifact set above.
 
     ``indices``: (train_idx, val_idx, test_idx) — empty arrays skip a
     stage (the reference's behavior; ``evaluate_models.py`` passes empty
-    train/val to evaluate checkpoints on a test split only). ``scaler``:
+    train/val to evaluate checkpoints on a test split only). The
+    per-sample artifacts (extxyz/CSVs/PNGs) are written ONLY from the
+    TEST stage; with an empty test split only errors{i}.json is produced
+    (they must never silently come from val/train data). ``scaler``:
     the fold's fitted EnergyForceExtensiveLabelScaler; the dataset is
     expected in TRANSFORMED (training) space and BOTH predictions and
     targets are inverse-transformed, so all reported metrics and artifacts
@@ -80,41 +127,33 @@ def evaluate_model(ds, fmodel, params,
         if idx.size == 0:
             continue
         stage_ds = ds[idx]
-        batch = stage_ds.to_batch(global_keys=global_keys)
-        out = {k: np.asarray(v) for k, v in
-               fmodel.apply(params, batch, train=False).items()
-               if hasattr(v, "shape")}
-        gm = np.asarray(batch.globals["graph_mask"], bool).reshape(-1)
-        nm = np.asarray(batch.node_mask, bool)
+        res = _predict_stage(stage_ds, fmodel, params, global_keys,
+                             eval_batch_size)
         z_list = [np.asarray(g["node_number"]) for g in stage_ds]
 
-        pred_e = out["energy"].reshape(batch.n_graphs, -1)[:, 0][gm]
-        true_e = np.asarray(batch.globals["energy"]).reshape(
-            batch.n_graphs, -1)[:, 0][gm]
+        pred_e, true_e = res["pred_e"], res["true_e"]
         if scaler is not None and getattr(scaler, "scale_", None) is not None:
             pred_e = scaler.inverse_transform(pred_e, z_list)
             true_e = scaler.inverse_transform(true_e, z_list)
         stage_flats = {"energy": (true_e, pred_e)}
 
-        if "force" in out and "force" in batch.nodes:
-            pred_f = out["force"][nm]
-            true_f = np.asarray(batch.nodes["force"])[nm]
+        if "pred_f" in res:
+            pred_f, true_f = res["pred_f"], res["true_f"]
             if scaler is not None and getattr(scaler, "scale_", None) is not None:
                 pred_f = pred_f * float(scaler.scale_[0])
                 true_f = true_f * float(scaler.scale_[0])
             stage_flats["force"] = (true_f, pred_f)
-        if "charge" in out and "charge" in batch.nodes:
-            stage_flats["charge"] = (
-                np.asarray(batch.nodes["charge"]).reshape(len(nm), -1)[:, 0][nm],
-                out["charge"].reshape(len(nm), -1)[:, 0][nm])
+        if "pred_q" in res:
+            stage_flats["charge"] = (res["true_q"], res["pred_q"])
 
         for label, (tv, pv) in stage_flats.items():
             rmse, mae, r2 = _metrics(tv, pv)
             error_dict[f"{stage.title()} RMSE {label.title()}"] = rmse
             error_dict[f"{stage.title()} MAE {label.title()}"] = mae
             error_dict[f"{stage.title()} R2 {label.title()}"] = r2
-        flats = stage_flats
-        test_stage = (stage_ds, out, gm, nm, z_list)
+        if stage == "test":
+            flats = stage_flats
+            test_stage = (stage_ds, res, z_list)
 
     with open(os.path.join(output_dir, f"errors{suffix}.json"), "w") as f:
         json.dump(error_dict, f, indent=2, sort_keys=True)
@@ -122,39 +161,28 @@ def evaluate_model(ds, fmodel, params,
     if test_stage is None:
         return error_dict
 
-    stage_ds, out, gm, nm, z_list = test_stage
-    # extxyz with ref+pred columns for the last evaluated (test) stage —
-    # in RAW label units like every other artifact (the flats were
-    # inverse-transformed above; un-scale the per-frame values the same
-    # way, reference writes raw-eV geometries)
+    stage_ds, res, z_list = test_stage
+    # extxyz with ref+pred columns for the TEST stage — in RAW label units
+    # like every other artifact (``flats`` already holds the
+    # inverse-transformed, dataset-ordered real entries)
     from ..utils.save_load_utils import save_extxyz
     frames = []
     offset_n = 0
-    pred_e_full = np.asarray(out["energy"]).reshape(-1)[:len(z_list)]
-    ref_e_full = np.array([float(np.asarray(g.get("energy", [np.nan]))
-                                 .reshape(-1)[0]) for g in stage_ds])
-    f_scale = 1.0
-    if scaler is not None and getattr(scaler, "scale_", None) is not None:
-        pred_e_full = np.asarray(scaler.inverse_transform(pred_e_full,
-                                                          z_list))
-        ref_e_full = np.asarray(scaler.inverse_transform(ref_e_full,
-                                                         z_list))
-        f_scale = float(scaler.scale_[0])
+    ref_e_full, pred_e_full = flats["energy"]
     for gi, g in enumerate(stage_ds):
         n = len(np.asarray(g["node_number"]))
         fr = {"node_number": np.asarray(g["node_number"]),
               "node_coordinates": np.asarray(g["node_coordinates"]),
-              "ref_energy": ref_e_full[gi:gi + 1],
-              "pred_energy": pred_e_full[gi:gi + 1]}
-        if "force" in g:
-            fr["ref_forces"] = np.asarray(g["force"]) * f_scale
-            fr["pred_forces"] = out["force"][offset_n:offset_n + n] * f_scale \
-                if "force" in out else np.full((n, 3), np.nan)
-        if "charge" in g:
-            fr["ref_charges"] = np.asarray(g["charge"]).reshape(n, -1)[:, 0]
-            if "charge" in out:
-                fr["pred_charges"] = out["charge"].reshape(
-                    len(nm), -1)[:, 0][offset_n:offset_n + n]
+              "ref_energy": np.asarray(ref_e_full[gi:gi + 1]),
+              "pred_energy": np.asarray(pred_e_full[gi:gi + 1])}
+        if "force" in flats:
+            true_f, pred_f = flats["force"]
+            fr["ref_forces"] = np.asarray(true_f[offset_n:offset_n + n])
+            fr["pred_forces"] = np.asarray(pred_f[offset_n:offset_n + n])
+        if "charge" in flats:
+            true_q, pred_q = flats["charge"]
+            fr["ref_charges"] = np.asarray(true_q[offset_n:offset_n + n])
+            fr["pred_charges"] = np.asarray(pred_q[offset_n:offset_n + n])
         frames.append(fr)
         offset_n += n
     save_extxyz(os.path.join(output_dir, f"geoms{suffix}.extxyz"), frames,

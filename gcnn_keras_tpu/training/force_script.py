@@ -214,6 +214,11 @@ def run_force_training(build_model: Callable[[Dict], object], cfg: Dict) -> Dict
         if cfg["use_wandb"]:
             from ..utils.wandb_wizard import finish_wandb
             finish_wandb()
+        if "loss" not in hist:
+            raise RuntimeError(
+                "epoch produced no training steps — with n_devices > 1 the "
+                "loader must yield at least n_devices same-shape batches "
+                "per epoch (raise synthetic_frames / lower batch_size)")
         params, opt_state = state.params, state.opt_state
         histories.append(hist)
         outdir = f"{cfg['model_prefix']}_{fold}"
@@ -221,29 +226,21 @@ def run_force_training(build_model: Callable[[Dict], object], cfg: Dict) -> Dict
         scaler.save(os.path.join(outdir, "scaler.json"))
         print(f"fold {fold}: loss={hist['loss'][-1]:.4f} -> {outdir}")
 
-        if cfg["make_plots"]:
-            # per-fold test-split predict-vs-true PNGs (reference
-            # training/train_force.py post-fit block)
-            from ..utils.plots import plot_predict_true
-            test = ds[te]
-            scaler.transform_dataset(test)
-            test_batch = test.to_batch(global_keys=tuple(global_keys))
-            tout = fmodel.apply(params, test_batch, train=False)
-            gm = np.asarray(test_batch.globals["graph_mask"], bool).reshape(-1)
-            nm = np.asarray(test_batch.node_mask, bool)
-            plot_predict_true(
-                np.asarray(tout["energy"]).reshape(-1)[gm],
-                np.asarray(test_batch.globals["energy"]).reshape(-1)[gm],
-                model_name=cfg["model_prefix"], dataset_name="force",
-                target_names="energy", filepath=outdir,
-                file_name="predict_energy.png")
-            if "force" in tout:
-                plot_predict_true(
-                    np.asarray(tout["force"])[nm],
-                    np.asarray(test_batch.nodes["force"])[nm],
-                    model_name=cfg["model_prefix"], dataset_name="force",
-                    target_names="force", filepath=outdir,
-                    file_name="predict_force.png")
+        # per-fold test-split artifacts in RAW units through the shared
+        # evaluator (errors.json + extxyz + CSVs + predict PNGs — the
+        # reference's post-fit evaluate_model block)
+        from .evaluation import evaluate_model
+        from ..data.dataset import MemoryGraphDataset
+        test = ds[te]
+        scaler.transform_dataset(test)
+        eval_ds = MemoryGraphDataset(graphs=list(test))
+        evaluate_model(eval_ds, fmodel, params,
+                       (np.array([], np.int64), np.array([], np.int64),
+                        np.arange(len(test))),
+                       scaler=scaler, output_dir=outdir,
+                       dataset_name="force", model_name=cfg["model_prefix"],
+                       global_keys=tuple(global_keys),
+                       make_plots=cfg["make_plots"])
 
     if cfg["make_plots"]:
         from ..utils.plots import plot_train_test_loss
