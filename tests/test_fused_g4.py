@@ -134,3 +134,77 @@ def test_fused_g4_padding_invariance():
                             b.max_nodes, interpret=True)
         outs.append(np.asarray(out)[np.asarray(b.node_mask)])
     np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-6)
+
+
+def test_fused_true_raises_with_reasons():
+    """fused=True must raise (naming the reason) for EVERY ineligible
+    configuration instead of silently running unfused."""
+    batch = _batch()
+    kwargs = ACSFG4.make_param_table(eta=[0.3], zeta=[1.0], lamda=[1.0],
+                                     rc=4.0, elements=[1, 6, 8],
+                                     multiplicity=2.0)
+    # off-TPU (CPU test runner) is itself an ineligibility reason; init
+    # traces the layer, so the raise fires there already
+    layer = ACSFG4(**kwargs, fused=True)
+    with pytest.raises(ValueError, match="non-TPU backend"):
+        layer.init(jax.random.PRNGKey(0), batch)
+    # unsorted element_mapping is flagged too
+    kw2 = dict(kwargs)
+    kw2["element_mapping"] = np.array([8, 1, 6])
+    layer2 = ACSFG4(**kw2, fused=True)
+    with pytest.raises(ValueError, match="unsorted element_mapping"):
+        layer2.init(jax.random.PRNGKey(0), batch)
+
+
+def test_fused_g4_many_relations():
+    """> 16 pair relations (6 unordered elements -> 21) must work — the
+    relation selectors pad to the sublane tile, not a hard-coded 16."""
+    els = [1, 6, 7, 8, 9, 16]
+    batch = _batch(elements=tuple(els))
+    kwargs = ACSFG4.make_param_table(eta=[0.3], zeta=[1.0], lamda=[-1.0, 1.0],
+                                     rc=4.0, elements=els, multiplicity=2.0)
+    layer = ACSFG4(**kwargs)
+    params = layer.init(jax.random.PRNGKey(0), batch)
+    pos0 = batch.nodes["node_coordinates"]
+    ref = np.asarray(layer.apply(params, batch, positions=pos0))
+    st = make_static(np.asarray(kwargs["eta_zeta_lambda_rc"], np.float32),
+                     kwargs["element_mapping"], False, 2.0)
+    assert st.num_rel == 21
+    out = np.asarray(acsf_g4_fused(
+        pos0, batch.nodes["node_number"].astype(jnp.int32), batch.angles,
+        batch.angle_mask, st, batch.n_node, batch.max_nodes,
+        interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_fused_g4_clamped_cosine_derivative():
+    """Exactly collinear triples (cos*lambda + 1 clamped) must have ZERO
+    fused cosine-derivative, matching autodiff through jnp.maximum."""
+    # a 3-atom perfectly linear molecule: i center, j/k on either side
+    z = np.array([6, 6, 6])
+    pos = np.array([[0.0, 0, 0], [1.2, 0, 0], [-1.2, 0, 0]], np.float32)
+    g = {"node_number": z, "node_coordinates": pos}
+    g = set_range(g, max_distance=4.0, max_neighbours=4)
+    g["edge_indices"] = g.pop("range_indices")
+    g = set_angle(g, range_indices="edge_indices")
+    batch = batch_graphs([g])
+    kwargs = ACSFG4.make_param_table(eta=[0.3], zeta=[1.0], lamda=[1.0],
+                                     rc=4.0, elements=[6],
+                                     multiplicity=2.0)
+    layer = ACSFG4(**kwargs)
+    params = layer.init(jax.random.PRNGKey(0), batch)
+    st = make_static(np.asarray(kwargs["eta_zeta_lambda_rc"], np.float32),
+                     kwargs["element_mapping"], False, 2.0)
+    pos0 = batch.nodes["node_coordinates"]
+
+    def ref_fn(p):
+        return layer.apply(params, batch, positions=p)
+
+    def fused_fn(p):
+        return acsf_g4_fused(p, batch.nodes["node_number"].astype(jnp.int32),
+                             batch.angles, batch.angle_mask, st,
+                             batch.n_node, batch.max_nodes, interpret=True)
+
+    g_ref = np.asarray(jax.grad(lambda p: jnp.sum(ref_fn(p)))(pos0))
+    g_fused = np.asarray(jax.grad(lambda p: jnp.sum(fused_fn(p)))(pos0))
+    np.testing.assert_allclose(g_fused, g_ref, rtol=1e-4, atol=1e-5)
