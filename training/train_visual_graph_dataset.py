@@ -133,6 +133,11 @@ def main():
         times.append(time.perf_counter() - t0)
         hists.append(hist)
 
+    from gcnn_keras_tpu.utils.plots import plot_train_test_loss
+    plot_train_test_loss(hists, loss_name="loss", val_loss_name="val_mae",
+                         model_name=args.model, dataset_name=args.dataset,
+                         filepath="results/vgd",
+                         file_name=f"{args.model}_loss.png")
     save_history_score(
         hists, f"results/vgd/{args.model}_score.yaml",
         model_name=args.model, dataset_name=args.dataset, seed=args.seed,
