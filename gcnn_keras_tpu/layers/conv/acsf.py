@@ -88,6 +88,11 @@ class ACSFG2(nn.Module):
     eta_rs_rc: Any
     element_mapping: Any
     add_eps: bool = False
+    # fused Pallas path (ops/pallas/fused_g4.py G2 family) — same
+    # AD-closed fwd/jvp/vjp structure and auto/force/off semantics as
+    # ACSFG4.fused; additionally ineligible for periodic batches
+    # (range_image lattice shifts stay on the unfused path)
+    fused: Optional[bool] = None
 
     @staticmethod
     def make_param_table(eta: Sequence[float], rs: Sequence[float], rc: float,
@@ -111,6 +116,43 @@ class ACSFG2(nn.Module):
 
         z = z if z is not None else batch.nodes["node_number"].astype(jnp.int32)
         pos = positions if positions is not None else batch.nodes["node_coordinates"]
+
+        if self.fused is not False:
+            elems = np.asarray(self.element_mapping)
+            periodic = ("range_image" in batch.edges
+                        and "graph_lattice" in batch.globals)
+            reasons = []
+            if batch.part_axis is not None:
+                reasons.append("edge-partitioned batch")
+            if per_target:
+                reasons.append("per-target parameter table")
+            if periodic:
+                reasons.append("periodic batch (range_image shifts)")
+            if jax.default_backend() != "tpu":
+                reasons.append("non-TPU backend")
+            if not bool(np.all(table == table[0:1])):
+                reasons.append("non-grid-constant parameter table")
+            if num_rel * table.shape[-2] > 128:
+                reasons.append(f"R*m={num_rel * table.shape[-2]} > 128")
+            if table.shape[-2] > 8:
+                reasons.append(f"m={table.shape[-2]} > 8 sets")
+            if batch.max_nodes > 128:
+                reasons.append(f"max_nodes={batch.max_nodes} > 128")
+            if not bool(np.all(np.diff(elems) > 0)):
+                reasons.append("unsorted element_mapping")
+            if self.fused and reasons:
+                raise ValueError(
+                    "ACSFG2(fused=True) but the configuration is not "
+                    "eligible for the fused kernels: " + "; ".join(reasons))
+            big_enough = bool(self.fused) or batch.senders.shape[0] >= 8192
+            if not reasons and big_enough:
+                from ...ops.pallas import fused_g4
+                st = fused_g4.make_static_g2(table, self.element_mapping)
+                return fused_g4.acsf_g2_fused(
+                    pos, z.astype(jnp.int32), batch.senders,
+                    batch.receivers, batch.edge_mask, st, batch.n_node,
+                    batch.max_nodes)
+
         recv, send = batch.receivers, batch.senders
         # edge-partitioned shard: senders index the halo-exchanged tables
         from ...batch import sender_node_table

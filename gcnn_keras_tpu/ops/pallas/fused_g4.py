@@ -278,41 +278,40 @@ def _gather_t(xwin_t: Array, oh: Array) -> Array:
                                      preferred_element_type=jnp.float32)
 
 
-def _rel_pad(st: G4Static) -> int:
+def _rel_pad(num_rel: int) -> int:
     """Relation rows padded to the 8-sublane tile (any R <= 128 works)."""
-    return ((st.num_rel + 7) // 8) * 8
+    return ((num_rel + 7) // 8) * 8
 
 
-def _expand_mats(st: G4Static, dtype=jnp.float32):
+def _expand_mats(num_rel: int, m: int, dtype=jnp.float32):
     """Iota-built expansion selectors: M1 (128, 8) picks set L % m onto
     lane L; M2 (128, R_pad) picks relation L // m onto lane L (for lanes
     L < R*m). Mosaic constant-folds both."""
-    m = len(st.eta_inv)
-    n_used = st.num_rel * m
-    r_pad = _rel_pad(st)
+    n_used = num_rel * m
+    r_pad = _rel_pad(num_rel)
     lane = jax.lax.broadcasted_iota(jnp.int32, (128, 8), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (128, 8), 1)
     m1 = ((lane % m == col) & (lane < n_used) & (col < m)).astype(dtype)
     lane2 = jax.lax.broadcasted_iota(jnp.int32, (128, r_pad), 0)
     col2 = jax.lax.broadcasted_iota(jnp.int32, (128, r_pad), 1)
     m2 = ((lane2 // m == col2) & (lane2 < n_used)
-          & (col2 < st.num_rel)).astype(dtype)
+          & (col2 < num_rel)).astype(dtype)
     return m1, m2
 
 
-def _sel_rows(st: G4Static, pair_id):
-    """(R_pad, B): row r = [pair_id == r] (padded to the sublane tile)."""
-    rows = [(jnp.abs(pair_id - r) < 0.5).astype(jnp.float32)
-            for r in range(st.num_rel)]
-    rows += [jnp.zeros_like(pair_id)] * (_rel_pad(st) - st.num_rel)
+def _sel_rows(num_rel: int, rel_id):
+    """(R_pad, B): row r = [rel_id == r] (padded to the sublane tile)."""
+    rows = [(jnp.abs(rel_id - r) < 0.5).astype(jnp.float32)
+            for r in range(num_rel)]
+    rows += [jnp.zeros_like(rel_id)] * (_rel_pad(num_rel) - num_rel)
     return jnp.concatenate(rows, axis=0)
 
 
-def _rep_exp_t(st: G4Static, rep_rows, sel_rows):
+def _rep_exp_t(num_rel: int, m: int, rep_rows, sel_rows):
     """(128, B) transposed lane expansion: row L = rep_{L%m} * sel_{L//m}
     — two tiny constant matmuls instead of R per-relation matmuls (the
     per-relation form wasted 15/16 of the MXU on 8-lane outputs)."""
-    m1, m2 = _expand_mats(st)
+    m1, m2 = _expand_mats(num_rel, m)
     rep8 = jnp.pad(rep_rows, ((0, 8 - rep_rows.shape[0]), (0, 0)))
     a = jax.lax.dot_general(m1, rep8, (((1,), (0,)), ((), ())),
                             precision=jax.lax.Precision.HIGHEST,
@@ -323,19 +322,18 @@ def _rep_exp_t(st: G4Static, rep_rows, sel_rows):
     return a * b
 
 
-def _pool_rel(st: G4Static, oh_recv, rep_rows, pair_id, f_pad):
+def _pool_rel(num_rel: int, m: int, oh_recv, rep_rows, rel_id, f_pad):
     """(N_BLK, f_pad) block contribution: ONE full-width matmul of the
     receiver one-hot against the transposed lane expansion."""
-    rep_exp_t = _rep_exp_t(st, rep_rows, _sel_rows(st, pair_id))
+    rep_exp_t = _rep_exp_t(num_rel, m, rep_rows, _sel_rows(num_rel, rel_id))
     return _dot_nt(oh_recv, rep_exp_t)
 
 
-def _unpool_rel(st: G4Static, oh_recv, ct_blk, pair_id):
+def _unpool_rel(num_rel: int, m: int, oh_recv, ct_blk, rel_id):
     """Adjoint of ``_pool_rel``: (N_BLK, f_pad) block cotangent ->
     (m, B) per-angle descriptor cotangent rows. Mirror structure:
     gather the per-angle expanded cotangent with one full-width matmul,
     then fold lanes back through the constant selectors."""
-    m = len(st.eta_inv)
     # (128, B): per-angle cotangent of the expanded lanes
     dims = (((0,), (0,)), ((), ()))
     ohb = oh_recv.astype(jnp.bfloat16)
@@ -345,8 +343,8 @@ def _unpool_rel(st: G4Static, oh_recv, ct_blk, pair_id):
                                preferred_element_type=jnp.float32)
     dexp = dexp + jax.lax.dot_general(lo, ohb, dims,
                                       preferred_element_type=jnp.float32)
-    m1, m2 = _expand_mats(st)
-    sel = _sel_rows(st, pair_id)
+    m1, m2 = _expand_mats(num_rel, m)
+    sel = _sel_rows(num_rel, rel_id)
     bsel = jax.lax.dot_general(m2, sel, (((1,), (0,)), ((), ())),
                                precision=jax.lax.Precision.HIGHEST,
                                preferred_element_type=jnp.float32)
@@ -426,7 +424,8 @@ def _make_fwd_kernel(st: G4Static, n_pad: int, f_pad: int):
             rep_rows = _rep_rows(st, tabs)         # (m, A_BLK)
             pair_id = _pair_id(st, pj[3:4], pk[3:4])
             oh_recv = (ids[0:1] == row_ids).astype(jnp.float32)
-            acc[...] += _pool_rel(st, oh_recv, rep_rows, pair_id, f_pad)
+            acc[...] += _pool_rel(st.num_rel, len(st.eta_inv), oh_recv,
+                                    rep_rows, pair_id, f_pad)
             return ()
 
         jax.lax.fori_loop(0, num_chunks, body, (), unroll=False)
@@ -507,7 +506,8 @@ def _make_jvp_kernel(st: G4Static, n_pad: int, f_pad: int):
             drep_rows = _drep_rows(st, tabs, dcos, ds2, drij, drik, drjk)
             pair_id = _pair_id(st, pj[3:4], pk[3:4])
             oh_recv = (ids[0:1] == row_ids).astype(jnp.float32)
-            acc[...] += _pool_rel(st, oh_recv, drep_rows, pair_id, f_pad)
+            acc[...] += _pool_rel(st.num_rel, len(st.eta_inv), oh_recv,
+                                    drep_rows, pair_id, f_pad)
             return ()
 
         jax.lax.fori_loop(0, num_chunks, body, (), unroll=False)
@@ -574,7 +574,8 @@ def _make_vjp_kernel(st: G4Static, n_pad: int, f_pad: int):
             tabs = _tables(st, rij, rik, rjk, cos, with_derivs=True)
             pair_id = _pair_id(st, pj[3:4], pk[3:4])
             oh_recv = (ids[0:1] == row_ids).astype(jnp.float32)
-            drep_rows = _unpool_rel(st, oh_recv, ctblk[...], pair_id)
+            drep_rows = _unpool_rel(st.num_rel, len(st.eta_inv), oh_recv,
+                                    ctblk[...], pair_id)
             a_cos, a_s2, a_rij, a_rik, a_rjk = _rep_coeffs(
                 st, tabs, drep_rows)
             d_vij, d_vik, d_vjk = _dv_from_coeffs(
@@ -779,3 +780,420 @@ def acsf_g4_fused(pos: Array, z: Array, angles: Array, angle_mask: Array,
         return out, dout
 
     return g4(pos, st, n_node, max_nodes)
+
+
+# ================================================================ G2 ===
+# The same fused structure for the RADIAL descriptors: per (i, j) EDGE,
+# rep_s = exp(-eta_s (r_ij - Rs_s)^2) * f_c(r_ij; rc_s), pooled per
+# receiver x sender-element relation. Edges are receiver-sorted at batch
+# build (THE batching invariant), so the identical block/window layout
+# applies — only the per-edge math differs.
+
+class G2Static(NamedTuple):
+    sets: tuple              # m (eta, rs, rc) float triples
+    elements: tuple          # atomic numbers (slots, must be sorted)
+    num_rel: int             # = len(elements)
+
+
+def make_static_g2(table: np.ndarray, elements) -> G2Static:
+    """Factor the (R, m, 3) shared grid table into static per-set values.
+    Requires the same grid for every element slot (make_param_table)."""
+    assert table.ndim == 3, "fused G2 requires a shared (R, m, 3) table"
+    assert bool(np.all(table == table[0:1])), \
+        "fused G2 requires a shared grid-constant parameter table"
+    g0 = table[0]
+    return G2Static(
+        sets=tuple((float(a), float(b), float(c)) for a, b, c in g0),
+        elements=tuple(int(z) for z in np.asarray(elements)),
+        num_rel=int(table.shape[0]))
+
+
+def _slot_id(elements, zj):
+    """Element slot id from gathered atomic numbers ((1, B) f32 row)."""
+    slot = jnp.zeros_like(zj)
+    for idx, z in enumerate(elements):
+        slot = jnp.where(jnp.abs(zj - z) < 0.5, float(idx), slot)
+    return slot
+
+
+def _g2_rep_rows(st: G2Static, rij):
+    rows = [jnp.exp(-eta * (rij - rs) ** 2) * _cutoff(rij, rc)
+            for eta, rs, rc in st.sets]
+    return jnp.concatenate(rows, axis=0)
+
+
+def _g2_drep_dr(st: G2Static, rij):
+    """(m, B) d rep_s / d r rows."""
+    rows = []
+    for eta, rs, rc in st.sets:
+        g = jnp.exp(-eta * (rij - rs) ** 2)
+        rows.append(-2.0 * eta * (rij - rs) * g * _cutoff(rij, rc)
+                    + g * _cutoff_d(rij, rc))
+    return jnp.concatenate(rows, axis=0)
+
+
+def _make_g2_fwd_kernel(st: G2Static, n_pad: int, f_pad: int):
+    def kernel(off_ref, ids_hbm, x_hbm, out_ref, acc, xwin, iscr, sems,
+               xsem):
+        i = pl.program_id(0)
+        e0 = off_ref[i]
+        e1 = off_ref[i + 1]
+        start = (e0 // A_BLK) * A_BLK
+        num_chunks = jax.lax.max(((e1 + A_BLK - 1 - start) // A_BLK), 0)
+
+        s_lo = _block_window(i, n_pad)
+        pltpu.make_async_copy(x_hbm.at[:, pl.ds(s_lo, W_WIN)], xwin,
+                              xsem).start()
+        acc[...] = jnp.zeros_like(acc)
+
+        row_ids = jax.lax.broadcasted_iota(
+            jnp.int32, (N_BLK, A_BLK), 0) + i * N_BLK
+        win_ids = jax.lax.broadcasted_iota(
+            jnp.int32, (W_WIN, A_BLK), 0) + s_lo
+
+        def dma(slot, chunk):
+            a0 = start + chunk * A_BLK
+            return pltpu.make_async_copy(
+                ids_hbm.at[:, pl.ds(a0, A_BLK)], iscr.at[slot],
+                sems.at[slot])
+
+        @pl.when(num_chunks > 0)
+        def _():
+            dma(0, 0).start()
+
+        pltpu.make_async_copy(x_hbm.at[:, pl.ds(s_lo, W_WIN)], xwin,
+                              xsem).wait()
+
+        def body(chunk, _):
+            slot = chunk % 2
+
+            @pl.when(chunk + 1 < num_chunks)
+            def _():
+                dma((chunk + 1) % 2, chunk + 1).start()
+
+            dma(slot, chunk).wait()
+            ids = iscr[slot]
+            oh_i = (ids[0:1] == win_ids).astype(jnp.float32)
+            oh_j = (ids[1:2] == win_ids).astype(jnp.float32)
+            x = xwin[...]
+            pi = _gather_t(x, oh_i)
+            pj = _gather_t(x, oh_j)
+            vij = pj - pi
+            rij = jnp.sqrt(jnp.maximum(_sum3(vij * vij), 1e-12))
+            rep_rows = _g2_rep_rows(st, rij)
+            rel = _slot_id(st.elements, pj[3:4])
+            oh_recv = (ids[0:1] == row_ids).astype(jnp.float32)
+            acc[...] += _pool_rel(st.num_rel, len(st.sets), oh_recv,
+                                  rep_rows, rel, f_pad)
+            return ()
+
+        jax.lax.fori_loop(0, num_chunks, body, (), unroll=False)
+        out_ref[...] = acc[...].astype(out_ref.dtype)
+
+    return kernel
+
+
+def _make_g2_jvp_kernel(st: G2Static, n_pad: int, f_pad: int):
+    def kernel(off_ref, ids_hbm, x_hbm, dx_hbm, out_ref, acc, xwin, dxwin,
+               iscr, sems, xsem, dxsem):
+        i = pl.program_id(0)
+        e0 = off_ref[i]
+        e1 = off_ref[i + 1]
+        start = (e0 // A_BLK) * A_BLK
+        num_chunks = jax.lax.max(((e1 + A_BLK - 1 - start) // A_BLK), 0)
+
+        s_lo = _block_window(i, n_pad)
+        pltpu.make_async_copy(x_hbm.at[:, pl.ds(s_lo, W_WIN)], xwin,
+                              xsem).start()
+        pltpu.make_async_copy(dx_hbm.at[:, pl.ds(s_lo, W_WIN)], dxwin,
+                              dxsem).start()
+        acc[...] = jnp.zeros_like(acc)
+
+        row_ids = jax.lax.broadcasted_iota(
+            jnp.int32, (N_BLK, A_BLK), 0) + i * N_BLK
+        win_ids = jax.lax.broadcasted_iota(
+            jnp.int32, (W_WIN, A_BLK), 0) + s_lo
+
+        def dma(slot, chunk):
+            a0 = start + chunk * A_BLK
+            return pltpu.make_async_copy(
+                ids_hbm.at[:, pl.ds(a0, A_BLK)], iscr.at[slot],
+                sems.at[slot])
+
+        @pl.when(num_chunks > 0)
+        def _():
+            dma(0, 0).start()
+
+        pltpu.make_async_copy(x_hbm.at[:, pl.ds(s_lo, W_WIN)], xwin,
+                              xsem).wait()
+        pltpu.make_async_copy(dx_hbm.at[:, pl.ds(s_lo, W_WIN)], dxwin,
+                              dxsem).wait()
+
+        def body(chunk, _):
+            slot = chunk % 2
+
+            @pl.when(chunk + 1 < num_chunks)
+            def _():
+                dma((chunk + 1) % 2, chunk + 1).start()
+
+            dma(slot, chunk).wait()
+            ids = iscr[slot]
+            oh_i = (ids[0:1] == win_ids).astype(jnp.float32)
+            oh_j = (ids[1:2] == win_ids).astype(jnp.float32)
+            x = xwin[...]
+            dx = dxwin[...]
+            pi = _gather_t(x, oh_i)
+            pj = _gather_t(x, oh_j)
+            dpi = _gather_t(dx, oh_i)
+            dpj = _gather_t(dx, oh_j)
+            vij = pj - pi
+            rij = jnp.sqrt(jnp.maximum(_sum3(vij * vij), 1e-12))
+            drij = _sum3(vij * (dpj - dpi)) / rij
+            drep_rows = _g2_drep_dr(st, rij) * drij
+            rel = _slot_id(st.elements, pj[3:4])
+            oh_recv = (ids[0:1] == row_ids).astype(jnp.float32)
+            acc[...] += _pool_rel(st.num_rel, len(st.sets), oh_recv,
+                                  drep_rows, rel, f_pad)
+            return ()
+
+        jax.lax.fori_loop(0, num_chunks, body, (), unroll=False)
+        out_ref[...] = acc[...].astype(out_ref.dtype)
+
+    return kernel
+
+
+def _make_g2_vjp_kernel(st: G2Static, n_pad: int, f_pad: int):
+    def kernel(off_ref, ids_hbm, x_hbm, ct_hbm, dpi_ref, dwin_ref,
+               acc_i, acc_w, xwin, ctblk, iscr, sems, xsem, ctsem):
+        i = pl.program_id(0)
+        e0 = off_ref[i]
+        e1 = off_ref[i + 1]
+        start = (e0 // A_BLK) * A_BLK
+        num_chunks = jax.lax.max(((e1 + A_BLK - 1 - start) // A_BLK), 0)
+
+        s_lo = _block_window(i, n_pad)
+        pltpu.make_async_copy(x_hbm.at[:, pl.ds(s_lo, W_WIN)], xwin,
+                              xsem).start()
+        pltpu.make_async_copy(ct_hbm.at[pl.ds(i * N_BLK, N_BLK), :], ctblk,
+                              ctsem).start()
+        acc_i[...] = jnp.zeros_like(acc_i)
+        acc_w[...] = jnp.zeros_like(acc_w)
+
+        row_ids = jax.lax.broadcasted_iota(
+            jnp.int32, (N_BLK, A_BLK), 0) + i * N_BLK
+        win_ids = jax.lax.broadcasted_iota(
+            jnp.int32, (W_WIN, A_BLK), 0) + s_lo
+
+        def dma(slot, chunk):
+            a0 = start + chunk * A_BLK
+            return pltpu.make_async_copy(
+                ids_hbm.at[:, pl.ds(a0, A_BLK)], iscr.at[slot],
+                sems.at[slot])
+
+        @pl.when(num_chunks > 0)
+        def _():
+            dma(0, 0).start()
+
+        pltpu.make_async_copy(x_hbm.at[:, pl.ds(s_lo, W_WIN)], xwin,
+                              xsem).wait()
+        pltpu.make_async_copy(ct_hbm.at[pl.ds(i * N_BLK, N_BLK), :], ctblk,
+                              ctsem).wait()
+
+        def body(chunk, _):
+            slot = chunk % 2
+
+            @pl.when(chunk + 1 < num_chunks)
+            def _():
+                dma((chunk + 1) % 2, chunk + 1).start()
+
+            dma(slot, chunk).wait()
+            ids = iscr[slot]
+            oh_i = (ids[0:1] == win_ids).astype(jnp.float32)
+            oh_j = (ids[1:2] == win_ids).astype(jnp.float32)
+            x = xwin[...]
+            pi = _gather_t(x, oh_i)
+            pj = _gather_t(x, oh_j)
+            vij = pj - pi
+            rij = jnp.sqrt(jnp.maximum(_sum3(vij * vij), 1e-12))
+            rel = _slot_id(st.elements, pj[3:4])
+            oh_recv = (ids[0:1] == row_ids).astype(jnp.float32)
+            drep_rows = _unpool_rel(st.num_rel, len(st.sets), oh_recv,
+                                    ctblk[...], rel)
+            # chain to positions: a_r = sum_s drep_s * d rep_s / d r
+            a_r = jnp.sum(drep_rows[:len(st.sets)]
+                          * _g2_drep_dr(st, rij), axis=0, keepdims=True)
+            d_vij = _row_mask3(a_r * vij / rij)
+            ci = _dot_nt(oh_recv, -d_vij)          # d_pi
+            acc_i[...] += jnp.pad(ci, ((0, 0), (0, 128 - 8)))
+            cw = _dot_nt(oh_j, d_vij)              # d_pj
+            acc_w[...] += jnp.pad(cw, ((0, 0), (0, 128 - 8)))
+            return ()
+
+        jax.lax.fori_loop(0, num_chunks, body, (), unroll=False)
+        dpi_ref[...] = acc_i[...].astype(dpi_ref.dtype)
+        dwin_ref[...] = acc_w[...].astype(dwin_ref.dtype)[None]
+
+    return kernel
+
+
+def _prep_edges(senders: Array, receivers: Array, edge_mask: Array,
+                n_node: int, max_nodes: int):
+    """Edge analog of ``_prep``: receiver-sorted ids, masked receivers
+    folded to n_pad."""
+    assert max_nodes <= N_BLK, \
+        f"fused G2 window needs max_nodes <= {N_BLK}, got {max_nodes}"
+    e = senders.shape[0]
+    e_pad = ((e + A_BLK - 1) // A_BLK) * A_BLK
+    n_pad = max(((n_node + N_BLK - 1) // N_BLK) * N_BLK, W_WIN)
+    recv = jnp.where(edge_mask, receivers.astype(jnp.int32),
+                     jnp.int32(n_pad))
+    ids = jnp.stack([recv, senders.astype(jnp.int32)], axis=0)
+    if e_pad != e:
+        ids = jnp.pad(ids, ((0, 0), (0, e_pad - e)),
+                      constant_values=jnp.int32(n_pad))
+    ids = jnp.pad(ids, ((0, 2), (0, 0)))
+    bounds = jnp.arange(0, n_pad + 1, N_BLK, dtype=jnp.int32)
+    offsets = jnp.searchsorted(ids[0], bounds,
+                               side="left").astype(jnp.int32)
+    return ids, offsets, e_pad, n_pad
+
+
+def _g2_grid_spec(n_pad, extra_inputs, extra_scratch):
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_pad // N_BLK,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (2 + extra_inputs),
+        out_specs=pl.BlockSpec((N_BLK, 128), lambda i, off: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((N_BLK, 128), jnp.float32),
+            pltpu.VMEM((8, W_WIN), jnp.float32),
+        ] + extra_scratch + [
+            pltpu.VMEM((2, 4, A_BLK), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ] + [pltpu.SemaphoreType.DMA] * extra_inputs)
+
+
+@functools.partial(jax.jit, static_argnames=("st", "n_node", "max_nodes",
+                                              "f_out", "interpret"))
+def _g2_fwd(pos, z, senders, receivers, edge_mask, st: G2Static,
+            n_node: int, max_nodes: int, f_out: int,
+            interpret: bool = False):
+    ids, offsets, e_pad, n_pad = _prep_edges(senders, receivers, edge_mask,
+                                             n_node, max_nodes)
+    x = _pack_table_t(pos, z, n_pad)
+    out = pl.pallas_call(
+        _make_g2_fwd_kernel(st, n_pad, 128),
+        grid_spec=_g2_grid_spec(n_pad, 0, []),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
+        interpret=interpret,
+    )(offsets, ids, x)
+    return out[:n_node, :f_out]
+
+
+@functools.partial(jax.jit, static_argnames=("st", "n_node", "max_nodes",
+                                              "f_out", "interpret"))
+def _g2_jvp(pos, z, senders, receivers, edge_mask, dpos, st: G2Static,
+            n_node: int, max_nodes: int, f_out: int,
+            interpret: bool = False):
+    ids, offsets, e_pad, n_pad = _prep_edges(senders, receivers, edge_mask,
+                                             n_node, max_nodes)
+    x = _pack_table_t(pos, z, n_pad)
+    dx = _pack_table_t(dpos, jnp.zeros_like(z), n_pad)
+    out = pl.pallas_call(
+        _make_g2_jvp_kernel(st, n_pad, 128),
+        grid_spec=_g2_grid_spec(n_pad, 1,
+                                [pltpu.VMEM((8, W_WIN), jnp.float32)]),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
+        interpret=interpret,
+    )(offsets, ids, x, dx)
+    return out[:n_node, :f_out]
+
+
+@functools.partial(jax.jit, static_argnames=("st", "n_node", "max_nodes",
+                                              "f_out", "interpret"))
+def _g2_vjp(pos, z, senders, receivers, edge_mask, ct, st: G2Static,
+            n_node: int, max_nodes: int, f_out: int,
+            interpret: bool = False):
+    ids, offsets, e_pad, n_pad = _prep_edges(senders, receivers, edge_mask,
+                                             n_node, max_nodes)
+    x = _pack_table_t(pos, z, n_pad)
+    ct_pad = jnp.zeros((n_pad, 128), jnp.float32)
+    ct_pad = ct_pad.at[:n_node, :f_out].set(ct.astype(jnp.float32))
+    n_blocks = n_pad // N_BLK
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        out_specs=[
+            pl.BlockSpec((N_BLK, 128), lambda i, off: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W_WIN, 128), lambda i, off: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((N_BLK, 128), jnp.float32),
+            pltpu.VMEM((W_WIN, 128), jnp.float32),
+            pltpu.VMEM((8, W_WIN), jnp.float32),
+            pltpu.VMEM((N_BLK, 128), jnp.float32),
+            pltpu.VMEM((2, 4, A_BLK), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ])
+    d_center, d_win = pl.pallas_call(
+        _make_g2_vjp_kernel(st, n_pad, 128),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((n_blocks, W_WIN, 128), jnp.float32)],
+        interpret=interpret,
+    )(offsets, ids, x, ct_pad)
+    dpos_full = d_center
+    for b in range(n_blocks):
+        s_lo = min(max((b - 1) * N_BLK, 0), n_pad - W_WIN)
+        dpos_full = jax.lax.dynamic_update_slice(
+            dpos_full,
+            jax.lax.dynamic_slice(dpos_full, (s_lo, 0), (W_WIN, 128))
+            + d_win[b], (s_lo, 0))
+    return dpos_full[:n_node, :3]
+
+
+def acsf_g2_fused(pos: Array, z: Array, senders: Array, receivers: Array,
+                  edge_mask: Array, st: G2Static, n_node: int,
+                  max_nodes: int, interpret: bool = False) -> Array:
+    """Differentiable fused G2 (same AD-closure as ``acsf_g4_fused``)."""
+    from jax.custom_derivatives import linear_call
+
+    m = len(st.sets)
+    f_out = st.num_rel * m
+    assert f_out <= 128, f"R*m={f_out} exceeds one lane tile"
+    assert m <= 8, f"m={m} sets exceed the sublane tile"
+
+    @functools.partial(jax.custom_jvp, nondiff_argnums=(1, 2, 3))
+    def g2(pos, st_, n_node_, max_nodes_):
+        return _g2_fwd(pos, z, senders, receivers, edge_mask, st_,
+                       n_node_, max_nodes_, f_out, interpret=interpret)
+
+    @g2.defjvp
+    def g2_jvp(st_, n_node_, max_nodes_, primals, tangents):
+        (p,) = primals
+        (dp,) = tangents
+        out = g2(p, st_, n_node_, max_nodes_)
+
+        def jvp_fn(res, tangent):
+            (p_res,) = res
+            return _g2_jvp(p_res, z, senders, receivers, edge_mask,
+                           tangent, st_, n_node_, max_nodes_, f_out,
+                           interpret=interpret)
+
+        def vjp_fn(res, ct):
+            (p_res,) = res
+            return _g2_vjp(p_res, z, senders, receivers, edge_mask, ct,
+                           st_, n_node_, max_nodes_, f_out,
+                           interpret=interpret)
+
+        dout = linear_call(jvp_fn, vjp_fn, (p,), dp)
+        return out, dout
+
+    return g2(pos, st, n_node, max_nodes)

@@ -208,3 +208,54 @@ def test_fused_g4_clamped_cosine_derivative():
     g_ref = np.asarray(jax.grad(lambda p: jnp.sum(ref_fn(p)))(pos0))
     g_fused = np.asarray(jax.grad(lambda p: jnp.sum(fused_fn(p)))(pos0))
     np.testing.assert_allclose(g_fused, g_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_g2_matches_unfused_all_orders():
+    """G2 fused kernels (edge/radial family): forward, jvp, vjp and the
+    second-order training pattern vs the unfused ACSFG2."""
+    from gcnn_keras_tpu.layers.conv.acsf import ACSFG2
+    from gcnn_keras_tpu.ops.pallas.fused_g4 import make_static_g2, acsf_g2_fused
+
+    batch = _batch()
+    kwargs = ACSFG2.make_param_table(eta=[0.0, 0.3], rs=[0.0, 3.0], rc=4.0,
+                                     elements=[1, 6, 8])
+    layer = ACSFG2(**kwargs)
+    params = layer.init(jax.random.PRNGKey(0), batch)
+    st = make_static_g2(np.asarray(kwargs["eta_rs_rc"], np.float32),
+                        kwargs["element_mapping"])
+    pos0 = batch.nodes["node_coordinates"]
+    z = batch.nodes["node_number"].astype(jnp.int32)
+
+    def ref_fn(p):
+        return layer.apply(params, batch, positions=p)
+
+    def fused_fn(p):
+        return acsf_g2_fused(p, z, batch.senders, batch.receivers,
+                             batch.edge_mask, st, batch.n_node,
+                             batch.max_nodes, interpret=True)
+
+    ref = np.asarray(ref_fn(pos0))
+    out = np.asarray(fused_fn(pos0))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+    rs = np.random.RandomState(7)
+    v = jnp.asarray(rs.randn(*pos0.shape).astype(np.float32))
+    _, dt_ref = jax.jvp(ref_fn, (pos0,), (v,))
+    _, dt_fused = jax.jvp(fused_fn, (pos0,), (v,))
+    np.testing.assert_allclose(np.asarray(dt_fused), np.asarray(dt_ref),
+                               rtol=1e-4, atol=1e-4)
+
+    ct = jnp.asarray(rs.randn(*ref.shape).astype(np.float32))
+    g_ref = jax.grad(lambda p: jnp.sum(ref_fn(p) * ct))(pos0)
+    g_fused = jax.grad(lambda p: jnp.sum(fused_fn(p) * ct))(pos0)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-4)
+
+    def loss(fn, c):
+        g = jax.grad(lambda p: jnp.sum(fn(p) * ct) * c)(pos0)
+        return jnp.sum(g * g)
+
+    c0 = jnp.float32(1.1)
+    so_ref = float(jax.grad(lambda c: loss(ref_fn, c))(c0))
+    so_fused = float(jax.grad(lambda c: loss(fused_fn, c))(c0))
+    assert abs(so_fused - so_ref) < 1e-3 * max(abs(so_ref), 1.0)
