@@ -603,9 +603,12 @@ def _make_vjp_kernel(st: G4Static, n_pad: int, f_pad: int):
 # ------------------------------------------------------------ wrappers ---
 
 def _prep(angles: Array, angle_mask: Array, n_node: int, max_nodes: int):
-    """Static padding/shapes shared by all three kernels."""
-    assert max_nodes <= N_BLK, \
-        f"fused G4 window needs max_nodes <= {N_BLK}, got {max_nodes}"
+    """Static padding/shapes shared by all three kernels.
+
+    Window coverage (every angle's j/k within +-128 rows of its center)
+    is the CALLER's contract — the ACSFG4 gate checks the batch's static
+    ``angle_locality`` (within-graph indices bound it by max_nodes;
+    locality-sorted giant molecules qualify too)."""
     a = angles.shape[0]
     a_pad = ((a + A_BLK - 1) // A_BLK) * A_BLK
     n_pad = max(((n_node + N_BLK - 1) // N_BLK) * N_BLK, W_WIN)
@@ -1039,9 +1042,8 @@ def _make_g2_vjp_kernel(st: G2Static, n_pad: int, f_pad: int):
 def _prep_edges(senders: Array, receivers: Array, edge_mask: Array,
                 n_node: int, max_nodes: int):
     """Edge analog of ``_prep``: receiver-sorted ids, masked receivers
-    folded to n_pad."""
-    assert max_nodes <= N_BLK, \
-        f"fused G2 window needs max_nodes <= {N_BLK}, got {max_nodes}"
+    folded to n_pad (window coverage is the ACSFG2 gate's contract via
+    ``edge_locality``)."""
     e = senders.shape[0]
     e_pad = ((e + A_BLK - 1) // A_BLK) * A_BLK
     n_pad = max(((n_node + N_BLK - 1) // N_BLK) * N_BLK, W_WIN)
