@@ -77,14 +77,16 @@ class GraphBatch:
     edge2_mask: Optional[Array] = None
     n_graphs: int = struct.field(pytree_node=False, default=1)
     max_nodes: int = struct.field(pytree_node=False, default=0)
-    # index LOCALITY (static, computed at build over REAL entries):
-    # max |sender - receiver| over edges / max(|j-i|, |k-i|) over angle
-    # triples. Within-graph indices bound these by max_nodes, but
-    # locality-sorted giant molecules can be much tighter — the fused
-    # ACSF kernels' node-window eligibility keys on these, not on
-    # max_nodes. -1 = unknown (fall back to max_nodes).
-    edge_locality: int = struct.field(pytree_node=False, default=-1)
-    angle_locality: int = struct.field(pytree_node=False, default=-1)
+    # Index-locality WINDOW flags (static, computed at build): True when
+    # every real edge sender / angle neighbor lies within +-128 rows of
+    # its receiver/center — the coverage contract of the fused ACSF
+    # kernels' node window. Quantized to booleans (not raw locality ints)
+    # so same-shaped batches share a treedef: max_nodes <= 128 batches
+    # are ALWAYS True regardless of data, keeping DP stacking and
+    # steps-per-dispatch grouping intact; locality-sorted giant molecules
+    # also qualify. False = unknown/ineligible (hand-built batches).
+    edge_window_local: bool = struct.field(pytree_node=False, default=False)
+    angle_window_local: bool = struct.field(pytree_node=False, default=False)
     # --- edge-partitioned (giant-graph) execution metadata -----------------
     # When ``part_axis`` is set, this batch is ONE SHARD of an
     # edge-partitioned giant graph living inside ``shard_map`` over that
@@ -439,20 +441,24 @@ def batch_graphs(
     elif counts_n and max_nodes < max(counts_n):
         raise ValueError(f"max_nodes={max_nodes} < largest graph {max(counts_n)}")
 
-    em = np.asarray(edge_mask, bool)
-    edge_locality = int(np.max(np.abs(
-        senders[em].astype(np.int64) - receivers[em].astype(np.int64)))) \
-        if em.any() else 0
-    angle_locality = -1
-    if angles is not None:
-        am = np.asarray(angle_mask, bool)
-        if am.any():
-            a_real = np.asarray(angles)[am].astype(np.int64)
-            angle_locality = int(max(
-                np.max(np.abs(a_real[:, 1] - a_real[:, 0])),
-                np.max(np.abs(a_real[:, 2] - a_real[:, 0]))))
-        else:
-            angle_locality = 0
+    if max_nodes <= 128:
+        edge_window_local = True
+        angle_window_local = angles is not None
+    else:
+        em = np.asarray(edge_mask, bool)
+        edge_window_local = bool(not em.any() or np.max(np.abs(
+            senders[em].astype(np.int64)
+            - receivers[em].astype(np.int64))) <= 128)
+        angle_window_local = False
+        if angles is not None:
+            am = np.asarray(angle_mask, bool)
+            if am.any():
+                a_real = np.asarray(angles)[am].astype(np.int64)
+                angle_window_local = bool(max(
+                    np.max(np.abs(a_real[:, 1] - a_real[:, 0])),
+                    np.max(np.abs(a_real[:, 2] - a_real[:, 0]))) <= 128)
+            else:
+                angle_window_local = True
 
     conv = (lambda x: x) if np_out else jnp.asarray
     return GraphBatch(
@@ -476,8 +482,8 @@ def batch_graphs(
         edge2_mask=conv(edge2_mask) if edge2_mask is not None else None,
         n_graphs=G,
         max_nodes=max_nodes,
-        edge_locality=edge_locality,
-        angle_locality=angle_locality,
+        edge_window_local=edge_window_local,
+        angle_window_local=angle_window_local,
     )
 
 

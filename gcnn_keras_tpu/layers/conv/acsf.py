@@ -136,11 +136,9 @@ class ACSFG2(nn.Module):
                 reasons.append(f"R*m={num_rel * table.shape[-2]} > 128")
             if table.shape[-2] > 8:
                 reasons.append(f"m={table.shape[-2]} > 8 sets")
-            locality = batch.edge_locality if batch.edge_locality >= 0 \
-                else batch.max_nodes
-            if locality > 128:
-                reasons.append(f"edge index locality {locality} > 128 "
-                               "(node window cannot cover the senders)")
+            if not batch.edge_window_local:
+                reasons.append("edge index locality > 128 (node window "
+                               "cannot cover the senders)")
             if not bool(np.all(np.diff(elems) > 0)):
                 reasons.append("unsorted element_mapping")
             if self.fused and reasons:
@@ -283,11 +281,9 @@ class ACSFG4(nn.Module):
                 reasons.append(f"R*m={num_rel * m_sets} > 128")
             if m_sets > 8:
                 reasons.append(f"m={m_sets} > 8 sets")
-            locality = batch.angle_locality if batch.angle_locality >= 0 \
-                else batch.max_nodes
-            if locality > 128:
-                reasons.append(f"angle index locality {locality} > 128 "
-                               "(node window cannot cover the neighbors)")
+            if not batch.angle_window_local:
+                reasons.append("angle index locality > 128 (node window "
+                               "cannot cover the neighbors)")
             if not bool(np.all(np.diff(elems) > 0)):
                 # the fused in-kernel pair-slot formula assumes sorted
                 # element slots (make_param_table sorts; hand-built
