@@ -299,3 +299,50 @@ def test_fit_model_early_stopping_restores_best_weights():
     diff_last = jax.tree.map(
         lambda a, b: float(np.max(np.abs(np.asarray(a) - b))), last, best)
     assert max(jax.tree.leaves(diff_last)) > 0.0
+
+
+def test_evaluate_model_chunked_prediction_and_test_only_artifacts(tmp_path):
+    """evaluate_model predicts splits in loader-sized chunks (identical
+    metrics for any eval_batch_size) and writes per-sample artifacts ONLY
+    when a test split exists."""
+    from gcnn_keras_tpu.data.dataset import MemoryGraphDataset
+    from gcnn_keras_tpu.models.schnet import make_model
+    from gcnn_keras_tpu.model.force import EnergyForceModel
+    from gcnn_keras_tpu.training.evaluation import evaluate_model
+
+    graphs = _qm_like_dataset(n_mols=9, seed=2)
+    rs = np.random.RandomState(3)
+    for g in graphs:
+        g["force"] = (rs.randn(len(g["node_number"]), 3) * 0.1
+                      ).astype(np.float32)
+        g.setdefault("energy", np.array([rs.randn()], np.float32))
+    ds = MemoryGraphDataset(graphs=[dict(g) for g in graphs])
+    fmodel = EnergyForceModel(make_model(
+        depth=1, interaction_args={"units": 8},
+        gauss_args={"bins": 8, "distance_max": 5.0},
+        last_mlp={"units": [8], "activation": ["shifted_softplus"]},
+        output_mlp={"units": [1], "activation": ["linear"]}))
+    params = fmodel.init(jax.random.PRNGKey(0),
+                         ds.to_batch(global_keys=("energy",)))
+
+    idx = (np.arange(3), np.arange(3, 6), np.arange(6, 9))
+    errs = {}
+    for bs in (2, 16):
+        out_dir = tmp_path / f"bs{bs}"
+        errs[bs] = evaluate_model(ds, fmodel, params, idx,
+                                  output_dir=str(out_dir),
+                                  global_keys=("energy",),
+                                  make_plots=False, eval_batch_size=bs)
+    for k, v in errs[2].items():
+        assert abs(v - errs[16][k]) < 1e-5, (k, v, errs[16][k])
+    assert (tmp_path / "bs2" / "geoms.extxyz").exists()
+    assert (tmp_path / "bs2" / "energy_predictions.csv").exists()
+
+    # empty TEST split: errors.json only, no per-sample artifacts
+    out3 = tmp_path / "noval"
+    evaluate_model(ds, fmodel, params,
+                   (np.arange(6), np.arange(6, 9), np.array([], np.int64)),
+                   output_dir=str(out3), global_keys=("energy",),
+                   make_plots=False)
+    assert (out3 / "errors.json").exists()
+    assert not (out3 / "geoms.extxyz").exists()
