@@ -113,7 +113,10 @@ def run_force_training(build_model: Callable[[Dict], object], cfg: Dict) -> Dict
 
     w = {"charge": cfg["charge_loss_weight"], "energy": cfg["energy_loss_weight"],
          "force": cfg["force_loss_weight"]}
-    wsum = sum(v for k, v in w.items() if k in cfg["outputs"] or k in ("energy", "force"))
+    # normalize over ALL configured weights (reference
+    # force_hdnnp4th.py:228-245). The previous filter skipped "charge",
+    # so charge-only scripts divided by ~0 and trained with a 1e9 weight.
+    wsum = sum(w.values())
     w = {k: v / max(wsum, 1e-9) for k, v in w.items()}
 
     global_keys = ["energy"]

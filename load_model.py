@@ -23,7 +23,12 @@ def main():
     from gcnn_keras_tpu.training.force_script import load_force_dataset
 
     mod = importlib.import_module(args.script)
-    cfg = dict(mod.CONFIG)
+    # merge the engine defaults like run_force_training does — scripts that
+    # delegate to force_script (charge_/energy_*) rely on keys like
+    # "cutoff" existing
+    from gcnn_keras_tpu.training.force_script import DEFAULTS
+    cfg = dict(DEFAULTS)
+    cfg.update(mod.CONFIG)
     if args.data_path:
         cfg["data_path"] = args.data_path
     ds = mod.load_dataset(cfg) if hasattr(mod, "load_dataset") \
