@@ -52,6 +52,19 @@ DEFAULTS = {
 }
 
 
+def normalized_loss_weights(cfg: Dict) -> Dict[str, float]:
+    """Charge/energy/force loss weights normalized over ALL three configured
+    weights (reference ``force_hdnnp4th.py:228-245``). Factored out so the
+    normalization is testable on its own: an earlier version summed only the
+    energy/force weights, so charge-only scripts divided by ~0 and trained
+    with a ~1e9 charge weight (pinned by tests/test_force_script.py)."""
+    w = {"charge": cfg["charge_loss_weight"],
+         "energy": cfg["energy_loss_weight"],
+         "force": cfg["force_loss_weight"]}
+    wsum = sum(w.values())
+    return {k: v / max(wsum, 1e-9) for k, v in w.items()}
+
+
 def load_force_dataset(cfg: Dict):
     from ..data.dataset import MemoryGraphDataset
     if cfg.get("data_path"):
@@ -111,13 +124,7 @@ def run_force_training(build_model: Callable[[Dict], object], cfg: Dict) -> Dict
         from ..parallel.mesh import make_mesh
         mesh = make_mesh(cfg["n_devices"])
 
-    w = {"charge": cfg["charge_loss_weight"], "energy": cfg["energy_loss_weight"],
-         "force": cfg["force_loss_weight"]}
-    # normalize over ALL configured weights (reference
-    # force_hdnnp4th.py:228-245). The previous filter skipped "charge",
-    # so charge-only scripts divided by ~0 and trained with a 1e9 weight.
-    wsum = sum(w.values())
-    w = {k: v / max(wsum, 1e-9) for k, v in w.items()}
+    w = normalized_loss_weights(cfg)
 
     global_keys = ["energy"]
     if cfg["need_esp"]:

@@ -1,0 +1,169 @@
+"""Root-script engine tests (VERDICT r4 item 2): the layer users actually
+invoke — ``gcnn_keras_tpu/training/force_script.py`` plus the thin fork
+scripts — gets its own pytest tier. Pins exactly the two bug classes fixed
+manually at r4 HEAD (commit 8239044):
+
+1. loss-weight normalization must sum over ALL three weights (reference
+   ``/root/reference/force_hdnnp4th.py:228-245``) — the broken version
+   summed only energy/force, so the charge-only script trained with a
+   ~1e9 charge weight;
+2. the engine DEFAULTS must merge UNDER the script CONFIG everywhere a
+   config is consumed (``run_force_training`` and ``load_model``) — the
+   charge_/energy_* scripts' CONFIGs lack engine keys like "cutoff" and
+   previously KeyError'd in load_model.
+
+Plus one short end-to-end run per engine family (force / energy / charge)
+on the tiny synthetic dataset, asserting the trained loss magnitude and
+the evaluation artifact set.
+"""
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from gcnn_keras_tpu.training.force_script import (  # noqa: E402
+    DEFAULTS, normalized_loss_weights, run_force_training)
+
+
+# --------------------------------------------------- loss-weight combos ---
+
+@pytest.mark.smoke
+@pytest.mark.parametrize("q,e,f", [
+    (0.0, 0.0, 1.0),    # force-only
+    (0.0, 1.0, 0.0),    # energy-only
+    (1.0, 0.0, 0.0),    # charge-only (the r4 HEAD bug: divided by ~0)
+    (0.0, 1.0, 200.0),  # classic energy+force
+    (50.0, 1.0, 200.0),  # flagship charge+energy+force
+])
+def test_loss_weights_normalize_over_all_three(q, e, f):
+    w = normalized_loss_weights({"charge_loss_weight": q,
+                                 "energy_loss_weight": e,
+                                 "force_loss_weight": f})
+    total = q + e + f
+    assert w["charge"] == pytest.approx(q / total)
+    assert w["energy"] == pytest.approx(e / total)
+    assert w["force"] == pytest.approx(f / total)
+    assert sum(w.values()) == pytest.approx(1.0)
+    # the bug class: no configured weight may be amplified by normalization
+    for k, v in w.items():
+        assert v <= 1.0 + 1e-9, f"{k} weight amplified to {v}"
+
+
+@pytest.mark.smoke
+def test_loss_weights_zero_sum_does_not_explode():
+    w = normalized_loss_weights({"charge_loss_weight": 0.0,
+                                 "energy_loss_weight": 0.0,
+                                 "force_loss_weight": 0.0})
+    assert all(v == 0.0 for v in w.values())
+
+
+# ------------------------------------------------------- config merging ---
+
+ENGINE_SCRIPTS = ["force_schnet", "force_hdnnp2nd", "force_painn",
+                  "charge_hdnnp4th", "energy_hdnnp4th", "energy_hdnnp2nd"]
+
+
+@pytest.mark.smoke
+@pytest.mark.parametrize("script", ENGINE_SCRIPTS)
+def test_script_config_merges_engine_defaults(script):
+    """Every force_script-driven fork script must survive the
+    DEFAULTS-under-CONFIG merge with the engine keys present — the exact
+    KeyError class load_model hit on charge_/energy_* checkpoints."""
+    import importlib
+    mod = importlib.import_module(script)
+    cfg = dict(DEFAULTS)
+    cfg.update(mod.CONFIG)
+    for key in ("cutoff", "max_neighbours", "need_angles", "need_esp",
+                "synthetic_frames", "batch_size", "ensemble_size",
+                "model_prefix"):
+        assert key in cfg, f"{script}: merged config lacks engine key {key!r}"
+    # the script must expose the builder load_model relies on
+    assert callable(getattr(mod, "build_model"))
+
+
+# ------------------------------------------------- end-to-end tiny runs ---
+
+def _tiny(cfg, **over):
+    out = dict(cfg)
+    out.update(
+        synthetic_frames=6, batch_size=3, ensemble_size=2, epochs=2,
+        make_plots=False, mlp_units=[8, 8, 1],
+        learning_rate_start=1e-3, learning_rate_stop=1e-4)
+    out.update(over)
+    return out
+
+
+def _assert_run_artifacts(prefix, folds=2, loss_cap=100.0):
+    """Checkpoint + scaler + evaluation artifacts per fold, score file,
+    and a sane loss magnitude (the broken charge-only normalization
+    printed 7.5e7)."""
+    score_path = f"results/{prefix}_score.yaml"
+    assert os.path.exists(score_path), f"missing {score_path}"
+    for fold in range(folds):
+        outdir = f"{prefix}_{fold}"
+        for fname in ("scaler.json", "errors.json"):
+            assert os.path.exists(os.path.join(outdir, fname)), \
+                f"missing {outdir}/{fname}"
+        with open(os.path.join(outdir, "errors.json")) as fh:
+            errors = json.load(fh)
+        assert any(k.startswith("Test") for k in errors), errors.keys()
+        # per-sample test artifacts (extxyz + CSVs) come from the evaluator
+        assert os.path.exists(os.path.join(outdir, "geoms.extxyz"))
+
+
+def test_force_engine_end_to_end(tmp_path, monkeypatch):
+    """force family: SchNet energy+force via run_force_training."""
+    monkeypatch.chdir(tmp_path)
+    import force_schnet
+    cfg = _tiny(force_schnet.CONFIG,
+                schnet={"depth": 1, "units": 16, "gauss_bins": 8,
+                        "gauss_distance": 5.0})
+    cfg.pop("mlp_units")
+    score = run_force_training(force_schnet.build_model, cfg)
+    assert np.isfinite(score["loss_mean"])
+    assert score["loss_mean"] < 100.0
+    _assert_run_artifacts("model_schnet_force")
+
+
+def test_charge_engine_end_to_end_and_load_model(tmp_path, monkeypatch):
+    """charge family: HDNNP4th charge-only — the exact r4 HEAD bug setup
+    (charge-only weights) — plus a load_model round-trip on the trained
+    checkpoint (the DEFAULTS-merge KeyError class)."""
+    monkeypatch.chdir(tmp_path)
+    import charge_hdnnp4th
+    # keep the script's architecture keys (mlp_units) untouched: load_model
+    # rebuilds the model from the SCRIPT CONFIG, so the checkpoint must be
+    # trained at that architecture for the round-trip to restore
+    cfg = _tiny(charge_hdnnp4th.CONFIG,
+                mlp_units=charge_hdnnp4th.CONFIG["mlp_units"])
+    score = run_force_training(charge_hdnnp4th.build_model, cfg)
+    assert np.isfinite(score["loss_mean"])
+    # charge labels are ~0.1-magnitude: a sane charge-only loss is well
+    # under 1; the broken normalization trained at ~7.5e7
+    assert score["loss_mean"] < 10.0
+    _assert_run_artifacts("model_hdnnp4th_charge")
+
+    import load_model
+    out = load_model.load_and_predict(
+        checkpoint="model_hdnnp4th_charge_0", script="charge_hdnnp4th",
+        n_frames=2)
+    assert out["has_charges"] and out["has_forces"]
+    assert len(out["energies"]) == 2
+    assert np.all(np.isfinite(out["energies"]))
+
+
+def test_energy_engine_end_to_end(tmp_path, monkeypatch):
+    """energy family: HDNNP4th charge+energy (no force weight)."""
+    monkeypatch.chdir(tmp_path)
+    import energy_hdnnp4th
+    cfg = _tiny(energy_hdnnp4th.CONFIG)
+    score = run_force_training(energy_hdnnp4th.build_model, cfg)
+    assert np.isfinite(score["loss_mean"])
+    assert score["loss_mean"] < 100.0
+    _assert_run_artifacts("model_hdnnp4th_energy")
