@@ -55,6 +55,12 @@ class QM9Dataset(QMDataset):
         super().__init__(data_directory=dl.data_directory, dataset_name="QM9",
                          **kwargs)
 
+    # canonical label names -> the deepchem release's published CSV headers
+    # (gdb9.sdf.csv uses lowercase thermodynamic columns: u0/u298/h298/
+    # g298/cv). Both spellings are accepted by read_in_memory.
+    _DEEPCHEM_COLUMNS = {"U0": "u0", "U": "u298", "H": "h298", "G": "g298",
+                         "Cv": "cv"}
+
     def read_in_memory(self, label_column_name: str = "U0", **kwargs):
         sdf = os.path.join(self.data_directory, "gdb9.sdf")
         csv = os.path.join(self.data_directory, "gdb9.sdf.csv")
@@ -66,7 +72,14 @@ class QM9Dataset(QMDataset):
         labels = pd.read_csv(csv)
         from ...mol.io import read_sdf_coordinates
         mols = read_sdf_coordinates(sdf)
-        col = labels[label_column_name].to_numpy()
+        col_name = label_column_name
+        if col_name not in labels.columns:
+            col_name = self._DEEPCHEM_COLUMNS.get(col_name, col_name)
+        if col_name not in labels.columns:
+            raise KeyError(
+                f"label column {label_column_name!r} not in gdb9.sdf.csv "
+                f"(columns: {list(labels.columns)})")
+        col = labels[col_name].to_numpy()
         for i, (z, xyz) in enumerate(mols):
             self.append({
                 "node_number": np.array(z, dtype=np.int64),

@@ -58,7 +58,9 @@ def main():
     batch = batch_graphs(_mols(rs, 512), global_keys=("energy",))
 
     fmodel = EnergyForceModel(make_model())
-    params = fmodel.init(jax.random.PRNGKey(0), batch, train=False)
+    # jit the init: EAGER flax init = thousands of ~10ms tunneled dispatches
+    params = jax.jit(lambda k, b: fmodel.init(k, b, train=False))(
+        jax.random.PRNGKey(0), batch)
 
     def loss_fn(p, b):
         out = fmodel.apply(p, b, train=False)
