@@ -33,13 +33,39 @@ class SchNetCFconv(nn.Module):
     # Pallas fused gather*filter->segment-sum: faster FORWARD (inference/MD),
     # slower in grad-of-grad training — see gather_mul_pool_edges
     fused_aggregate: bool = False
+    # ACCURACY mode for the MD/inference path: the fully fused
+    # basis->filter-MLP->multiply->segment-sum kernel
+    # (ops/pallas/fused_cfconv.py) forces f32 Precision.HIGHEST matmuls in
+    # VMEM — measured ~38x more accurate forces than XLA's default bf16
+    # truncation at ~10% lower throughput (PERF.md "Fused cfconv kernel").
+    # FIRST-order differentiable only (custom_vjp): energies + forces work,
+    # grad-of-grad training raises — keep False for training.
+    accurate_cfconv: bool = False
 
     @nn.compact
     def __call__(self, batch: GraphBatch, nodes: Array, edge_basis: Array) -> Array:
-        f = Dense(self.units, activation=self.activation, use_bias=self.use_bias,
-                  dtype=self.dtype, name="filter_1")(edge_basis)
-        f = Dense(self.units, activation="linear", use_bias=self.use_bias,
-                  dtype=self.dtype, name="filter_2")(f)
+        d1 = Dense(self.units, activation=self.activation, use_bias=self.use_bias,
+                   dtype=self.dtype, name="filter_1")
+        d2 = Dense(self.units, activation="linear", use_bias=self.use_bias,
+                   dtype=self.dtype, name="filter_2")
+        if self.accurate_cfconv:
+            if (self.activation != "shifted_softplus" or not self.use_bias
+                    or self.cfconv_pool != "sum"):
+                raise ValueError(
+                    "accurate_cfconv requires the reference cfconv config "
+                    "(shifted_softplus filter, use_bias=True, sum pooling)")
+            # create the identical parameter pytree WITHOUT materializing
+            # the (E, U) filter — the kernel recomputes it in VMEM
+            d2(d1(edge_basis[:1]))
+            p1 = d1.variables["params"]["Dense_0"]
+            p2 = d2.variables["params"]["Dense_0"]
+            from ...ops.pallas.fused_cfconv import fused_cfconv_auto
+            from ..aggr import gather_sender_nodes
+            xj = gather_sender_nodes(batch, nodes)
+            return fused_cfconv_auto(
+                edge_basis, xj, batch.receivers, nodes.shape[0],
+                p1["kernel"], p1["bias"], p2["kernel"], p2["bias"])
+        f = d2(d1(edge_basis))
         return gather_mul_pool_edges(batch, nodes, f, mode=self.cfconv_pool,
                                      fused=self.fused_aggregate)
 
@@ -85,7 +111,8 @@ class SchNetInteractionDense(nn.Module):
     use_bias: bool = True
     cfconv_pool: str = "sum"
     dtype: Any = None
-    fused_aggregate: bool = False  # accepted for config parity; unused
+    fused_aggregate: bool = False   # accepted for config parity; unused
+    accurate_cfconv: bool = False   # accepted for config parity; unused
 
     @nn.compact
     def __call__(self, adj: Array, nodes_p: Array, basis_p: Array) -> Array:
@@ -109,6 +136,7 @@ class SchNetInteraction(nn.Module):
     cfconv_pool: str = "sum"
     dtype: Any = None
     fused_aggregate: bool = False
+    accurate_cfconv: bool = False  # MD/inference accuracy mode (see CFconv)
 
     @nn.compact
     def __call__(self, batch: GraphBatch, nodes: Array, edge_basis: Array) -> Array:
@@ -117,6 +145,7 @@ class SchNetInteraction(nn.Module):
         x = SchNetCFconv(self.units, activation=self.activation,
                          use_bias=self.use_bias, cfconv_pool=self.cfconv_pool,
                          dtype=self.dtype, fused_aggregate=self.fused_aggregate,
+                         accurate_cfconv=self.accurate_cfconv,
                          name="cfconv")(batch, x, edge_basis)
         x = Dense(self.units, activation=self.activation, use_bias=self.use_bias,
                   dtype=self.dtype, name="post_1")(x)
