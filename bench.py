@@ -230,15 +230,17 @@ def sec_schnet_step(jax, jnp, optax):
     RECORD["value"] = round(n_real_edges / dt, 1)
     RECORD["vs_baseline"] = round(n_real_edges / dt / BENCH_BASE, 4)
     RECORD["ms_per_step"] = round(dt * 1e3, 3)
-    # bytes/GB/s are XLA cost-analysis UPPER BOUNDS: pallas kernels get
-    # their full HBM operands re-counted per grid step, so hbm_frac can
-    # exceed 1.0; treat as relative regression signal, not absolute.
-    # achieved_gbps_measured (separate section) is the calibrated number.
-    RECORD["bytes_per_step"] = bytes_acc
+    # bytes/GB/s from cost analysis are UPPER BOUNDS: pallas kernels get
+    # their full HBM operands re-counted per grid step, so the fraction
+    # can exceed 1.0 — named *_upper_bound accordingly (VERDICT r4 item
+    # 5). The MEASURED step traffic lands in achieved_gbps_measured /
+    # hbm_frac_measured (sec_hbm_traffic, profiler-derived).
+    RECORD["bytes_per_step_upper_bound"] = bytes_acc
     RECORD["flops_per_step"] = flops
-    RECORD["achieved_gbps"] = round(bytes_acc / dt / 1e9, 1)
+    RECORD["achieved_gbps_upper_bound"] = round(bytes_acc / dt / 1e9, 1)
     RECORD["achieved_tflops"] = round(flops / dt / 1e12, 2)
-    RECORD["hbm_frac"] = round(bytes_acc / dt / 1e9 / HBM_PEAK_GBPS, 3)
+    RECORD["hbm_frac_upper_bound"] = round(
+        bytes_acc / dt / 1e9 / HBM_PEAK_GBPS, 3)
     RECORD["mfu_f32"] = round(flops / dt / 1e12 / F32_PEAK_TFLOPS, 4)
     return step, args, n_real_edges, flops
 
@@ -291,12 +293,122 @@ def sec_hbm_measured(jax, jnp):
     jax.block_until_ready(y)
     dt = (time.perf_counter() - t0) / 10
     RECORD["copy_gbps_measured"] = round((2 * x.size * 4) / dt / 1e9, 1)
-    if "ms_per_step_scan" in RECORD and RECORD.get("bytes_per_step"):
+    if "ms_per_step_scan" in RECORD \
+            and RECORD.get("bytes_per_step_upper_bound"):
         # honest achieved GB/s if the step truly moved bytes_per_step
         # (upper bound) in its ground-truth device time
         RECORD["achieved_gbps_upper_bound_scan"] = round(
-            RECORD["bytes_per_step"] / (RECORD["ms_per_step_scan"] / 1e3)
-            / 1e9, 1)
+            RECORD["bytes_per_step_upper_bound"]
+            / (RECORD["ms_per_step_scan"] / 1e3) / 1e9, 1)
+
+
+def _pb_varint(buf, i):
+    r = s = 0
+    while True:
+        b = buf[i]
+        i += 1
+        r |= (b & 0x7F) << s
+        if not b & 0x80:
+            return r, i
+        s += 7
+
+
+def _pb_hbm_bytes(buf):
+    """Hand-decode an op's ``memory_access_breakdown`` stat (serialized
+    op_metrics.proto MemoryAccessBreakdown: repeated MemoryAccessed
+    {1: operation_type, 2: memory_space, 3: bytes_accessed}) and return
+    the HBM-space (space 1) bytes — the proto module is not shipped in
+    this environment, and the varint schema is 3 fixed fields."""
+    total, i = 0, 0
+    while i < len(buf):
+        tag, i = _pb_varint(buf, i)
+        fld, wt = tag >> 3, tag & 7
+        if fld == 1 and wt == 2:
+            ln, i = _pb_varint(buf, i)
+            sub = buf[i:i + ln]
+            i += ln
+            space = nbytes = 0
+            j = 0
+            while j < len(sub):
+                t2, j = _pb_varint(sub, j)
+                v2, j = _pb_varint(sub, j)
+                f2 = t2 >> 3
+                if f2 == 2:
+                    space = v2
+                elif f2 == 3:
+                    nbytes = v2
+            if space == 1:
+                total += nbytes
+        elif wt == 0:
+            _, i = _pb_varint(buf, i)
+        elif wt == 2:
+            ln, i = _pb_varint(buf, i)
+            i += ln
+        else:
+            break
+    return total
+
+
+def sec_hbm_traffic(jax, schnet_ctx):
+    """MEASURED step traffic (VERDICT r4 item 5): profile 3 executions of
+    the benched SchNet step and sum, over device ops ACTUALLY RUN, the
+    HBM-space component of each op's ``memory_access_breakdown`` (the
+    plain bytes_accessed stat counts every memory space — on-chip VMEM
+    re-reads included — and the cost-analysis number additionally
+    re-counts Pallas operands per grid step; both exceed HBM peak).
+    Divides by the scan ground-truth time for an hbm_frac_measured that
+    is physically <= 1.0. r5 first measurement: 4.06 GB/step = 391 GB/s
+    = 0.48 of peak — the step is latency-bound, not bandwidth-bound."""
+    import glob
+    import tempfile
+    os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION",
+                          "python")
+    try:
+        from tensorboard_plugin_profile.protobuf import xplane_pb2
+    except ImportError:  # proto lives under tensorflow's tsl in this env
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    step, args, n_real_edges, flops = schnet_ctx
+    reps = 3
+    logdir = tempfile.mkdtemp(prefix="jaxprof_bench_")
+    with jax.profiler.trace(logdir):
+        out = None
+        for _ in range(reps):
+            out = step(*args)
+        jax.block_until_ready(out)
+
+    paths = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
+                      recursive=True)
+    assert paths, "no xplane.pb produced"
+    xs = xplane_pb2.XSpace()
+    with open(sorted(paths)[-1], "rb") as f:
+        xs.ParseFromString(f.read())
+    total_bytes = 0
+    for plane in xs.planes:
+        if not plane.name.startswith("/device:TPU"):
+            continue
+        stat_names = {m.id: m.name for m in plane.stat_metadata.values()}
+        hbm_by_meta = {}
+        for m in plane.event_metadata.values():
+            for st in m.stats:
+                if stat_names.get(st.metadata_id) \
+                        == "memory_access_breakdown":
+                    hbm_by_meta[m.id] = _pb_hbm_bytes(st.bytes_value)
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            for ev in line.events:
+                total_bytes += hbm_by_meta.get(ev.metadata_id, 0)
+    if not total_bytes:
+        RECORD["hbm_traffic_note"] = "no memory_access_breakdown in trace"
+        return
+    bytes_per_step = total_bytes / reps
+    dt_s = (RECORD.get("ms_per_step_scan")
+            or RECORD["ms_per_step"]) / 1e3
+    RECORD["bytes_per_step_measured"] = round(bytes_per_step, 1)
+    RECORD["achieved_gbps_measured"] = round(bytes_per_step / dt_s / 1e9, 1)
+    RECORD["hbm_frac_measured"] = round(
+        bytes_per_step / dt_s / 1e9 / HBM_PEAK_GBPS, 3)
 
 
 def _hdnnp_setup(jax, jnp, optax):
@@ -407,6 +519,108 @@ def sec_hdnnp_qeq(jax, jnp, ctx):
 
     qeq_dt, _ = _timeit(qeq_only, (batch, chi), iters=20)
     RECORD["hdnnp4th"]["qeq_solve_ms"] = round(qeq_dt * 1e3, 3)
+
+
+def _ef_train_step(jax, optax, fmodel, batch):
+    """Shared E+F train-step builder for the per-family bench sections."""
+    from gcnn_keras_tpu.training.losses import masked_graph_mae, masked_node_mae
+
+    params = jax.jit(lambda k, b: fmodel.init(k, b, train=False))(
+        jax.random.PRNGKey(0), batch)
+
+    def loss_fn(params, b):
+        out = fmodel.apply(params, b, train=False)
+        e_loss = masked_graph_mae(out["energy"], b.globals["energy"],
+                                  b.globals["graph_mask"])
+        f_loss = masked_node_mae(out["force"], b.nodes["force"], b.node_mask)
+        return e_loss + 100.0 * f_loss, {}
+
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+
+    def step_fn(params, opt_state, b):
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, b)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step_fn, (params, opt_state, batch)
+
+
+def _family_record(jax, step_fn, args, n_edges, loop_iters=10, k=10):
+    """Loop + scan ground-truth timings for one model family."""
+    step = jax.jit(step_fn)
+    dt, _ = _timeit(step, args, iters=loop_iters)
+
+    @jax.jit
+    def multi(params, opt_state, b):
+        def body(carry, _):
+            p, s = carry
+            p, s, loss = step_fn(p, s, b)
+            return (p, s), loss
+
+        (p, s), losses = jax.lax.scan(body, (params, opt_state), None,
+                                      length=k)
+        return p, s, losses[-1]
+
+    dt_scan, _ = _timeit(multi, args, iters=2)
+    dt_scan /= k
+    return {"ms_per_step": round(dt * 1e3, 3),
+            "ms_per_step_scan": round(dt_scan * 1e3, 3),
+            "edges_per_sec": round(n_edges / dt, 1),
+            "edges_per_sec_scan": round(n_edges / dt_scan, 1)}
+
+
+def sec_painn(jax, jnp, optax):
+    """PAiNN E+F train step (BASELINE target family 3; config mirrors
+    force_painn.py: depth 3, 128 units, 20 radial Bessel, 5.0 cutoff) —
+    128-mol batch of the same QM9-like molecules as the flagship section.
+    VERDICT r4 item 3: previously unbenched; a regression here was
+    invisible to the driver."""
+    from gcnn_keras_tpu.batch import batch_graphs
+    from gcnn_keras_tpu.models.painn import make_model
+    from gcnn_keras_tpu.model.force import EnergyForceModel
+
+    rs = np.random.RandomState(4)
+    batch = batch_graphs(_mols(rs, 128), global_keys=("energy",))
+    n_edges = int(np.asarray(batch.edge_mask).sum())
+    model = make_model(
+        depth=3, conv_args={"units": 128, "cutoff": 5.0},
+        update_args={"units": 128},
+        input_embedding={"node": {"output_dim": 128}},
+        bessel_basis={"num_radial": 20, "cutoff": 5.0},
+        output_mlp={"units": [128, 1], "activation": ["swish", "linear"]})
+    step_fn, args = _ef_train_step(jax, optax, EnergyForceModel(model), batch)
+    RECORD["painn"] = _family_record(jax, step_fn, args, n_edges)
+
+
+def sec_hdnnp2nd(jax, jnp, optax):
+    """HDNNP2nd E+F train step (BASELINE target family 4; config mirrors
+    force_hdnnp2nd.py: shared G2+G4 tables + relational MLP, no charge
+    head) — same 128-mol angular batch as the flagship section."""
+    from gcnn_keras_tpu.batch import batch_graphs
+    from gcnn_keras_tpu.models.hdnnp2nd import make_model_behler
+    from gcnn_keras_tpu.model.force import EnergyForceModel
+
+    rs = np.random.RandomState(5)
+    graphs = _mols(rs, 128, with_esp=True)  # with_esp builds the angles
+    batch = batch_graphs(graphs, global_keys=("energy",))
+    n_edges = int(np.asarray(batch.edge_mask).sum())
+    n_angles = int(np.asarray(batch.angle_mask).sum())
+    elements = [1, 6, 7, 8, 9]
+    model = make_model_behler(
+        g2_kwargs={"eta": [0.0, 0.3], "rs": [0.0, 3.0], "rc": 4.0,
+                   "elements": elements},
+        g4_kwargs={"eta": [0.0, 0.3], "lamda": [-1.0, 1.0], "rc": 4.0,
+                   "zeta": [1.0, 8.0], "elements": elements,
+                   "multiplicity": 2.0},
+        mlp_kwargs={"units": [64, 64, 1], "num_relations": 10,
+                    "activation": ["swish", "swish", "linear"]})
+    step_fn, args = _ef_train_step(jax, optax, EnergyForceModel(model), batch)
+    rec = _family_record(jax, step_fn, args, n_edges)
+    dt_scan = rec["ms_per_step_scan"] / 1e3
+    rec["angles_per_sec_scan"] = round(n_angles / dt_scan, 1)
+    RECORD["hdnnp2nd"] = rec
 
 
 def sec_hdnnp_large_mol(jax, jnp, optax):
@@ -589,10 +803,14 @@ def main():
     if schnet_ctx is not None:
         _section("schnet_scan", 120, sec_schnet_scan, jax, schnet_ctx)
     _section("hbm_measured", 15, sec_hbm_measured, jax, jnp)
+    if schnet_ctx is not None:
+        _section("hbm_traffic", 45, sec_hbm_traffic, jax, schnet_ctx)
     hdnnp_ctx = _section("hdnnp_step", 150, sec_hdnnp_step, jax, jnp, optax)
     if hdnnp_ctx is not None:
         _section("hdnnp_scan", 110, sec_hdnnp_scan, jax, hdnnp_ctx)
         _section("hdnnp_qeq", 40, sec_hdnnp_qeq, jax, jnp, hdnnp_ctx)
+    _section("painn", 130, sec_painn, jax, jnp, optax)
+    _section("hdnnp2nd", 130, sec_hdnnp2nd, jax, jnp, optax)
     md_ctx = _section("md_single", 130, sec_md_single, jax, jnp)
     if md_ctx is not None:
         _section("md_ensemble", 110, sec_md_ensemble, jax, md_ctx)

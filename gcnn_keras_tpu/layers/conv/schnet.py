@@ -41,6 +41,14 @@ class SchNetCFconv(nn.Module):
     # FIRST-order differentiable only (custom_vjp): energies + forces work,
     # grad-of-grad training raises — keep False for training.
     accurate_cfconv: bool = False
+    # TRAINING fusion mode (ops/pallas/fused_interaction.py): the whole
+    # positions->basis->filter-MLP->gather-mul->segment-sum chain in three
+    # AD-closed Pallas kernels covering reverse-over-reverse (energy+force
+    # training). Requires the reference cfconv config + gauss_args; falls
+    # back to the unfused path when the batch is ineligible (periodic /
+    # partitioned / non-window-local / non-TPU). Reverse-mode only.
+    fused_chain: bool = False
+    gauss_args: Any = None  # dict; required by fused_chain (basis config)
 
     @nn.compact
     def __call__(self, batch: GraphBatch, nodes: Array, edge_basis: Array) -> Array:
@@ -48,6 +56,10 @@ class SchNetCFconv(nn.Module):
                    dtype=self.dtype, name="filter_1")
         d2 = Dense(self.units, activation="linear", use_bias=self.use_bias,
                    dtype=self.dtype, name="filter_2")
+        if self.fused_chain:
+            out = self._fused_chain(batch, nodes, d1, d2)
+            if out is not None:
+                return out
         if self.accurate_cfconv:
             if (self.activation != "shifted_softplus" or not self.use_bias
                     or self.cfconv_pool != "sum"):
@@ -68,6 +80,41 @@ class SchNetCFconv(nn.Module):
         f = d2(d1(edge_basis))
         return gather_mul_pool_edges(batch, nodes, f, mode=self.cfconv_pool,
                                      fused=self.fused_aggregate)
+
+    def _fused_chain(self, batch: GraphBatch, nodes: Array, d1, d2):
+        """Route through the AD-closed fused-chain kernels when eligible;
+        return None to fall back to the unfused path."""
+        from ...ops.pallas import fused_interaction as fi
+
+        if (self.activation != "shifted_softplus" or not self.use_bias
+                or self.cfconv_pool != "sum" or self.dtype is not None):
+            raise ValueError(
+                "fused_chain requires the reference cfconv config "
+                "(shifted_softplus filter, use_bias=True, sum pooling, "
+                "f32)")
+        if not self.gauss_args:
+            raise ValueError(
+                "fused_chain needs gauss_args (the model passes them "
+                "only when make_distance and expand_distance are True)")
+        ga = dict(self.gauss_args)
+        st = fi.CFStatic(bins=int(ga.get("bins", 20)),
+                         distance_max=float(ga.get("distance_max", 4.0)),
+                         offset=float(ga.get("offset", 0.0)),
+                         sigma=float(ga.get("sigma", 0.4)),
+                         units=self.units)
+        if (fi.fused_chain_ineligibility(batch, st.bins)
+                or batch.senders.shape[0] < 8192 and not fi.FORCE_INTERPRET):
+            return None
+        # create the identical parameter pytree; the kernels recompute the
+        # filter from positions in VMEM
+        d2(d1(jnp.zeros((1, st.bins), jnp.float32)))
+        p1 = d1.variables["params"]["Dense_0"]
+        p2 = d2.variables["params"]["Dense_0"]
+        return fi.cfconv_fused_chain(
+            nodes, batch.nodes["node_coordinates"],
+            p1["kernel"], p1["bias"], p2["kernel"], p2["bias"],
+            batch.senders, batch.receivers, batch.edge_mask, st,
+            batch.n_node, interpret=fi.FORCE_INTERPRET)
 
 
 class SchNetCFconvDense(nn.Module):
@@ -113,6 +160,8 @@ class SchNetInteractionDense(nn.Module):
     dtype: Any = None
     fused_aggregate: bool = False   # accepted for config parity; unused
     accurate_cfconv: bool = False   # accepted for config parity; unused
+    fused_chain: bool = False       # accepted for config parity; unused
+    gauss_args: Any = None          # accepted for config parity; unused
 
     @nn.compact
     def __call__(self, adj: Array, nodes_p: Array, basis_p: Array) -> Array:
@@ -137,6 +186,8 @@ class SchNetInteraction(nn.Module):
     dtype: Any = None
     fused_aggregate: bool = False
     accurate_cfconv: bool = False  # MD/inference accuracy mode (see CFconv)
+    fused_chain: bool = False      # AD-closed fused training chain
+    gauss_args: Any = None
 
     @nn.compact
     def __call__(self, batch: GraphBatch, nodes: Array, edge_basis: Array) -> Array:
@@ -146,6 +197,8 @@ class SchNetInteraction(nn.Module):
                          use_bias=self.use_bias, cfconv_pool=self.cfconv_pool,
                          dtype=self.dtype, fused_aggregate=self.fused_aggregate,
                          accurate_cfconv=self.accurate_cfconv,
+                         fused_chain=self.fused_chain,
+                         gauss_args=self.gauss_args,
                          name="cfconv")(batch, x, edge_basis)
         x = Dense(self.units, activation=self.activation, use_bias=self.use_bias,
                   dtype=self.dtype, name="post_1")(x)

@@ -84,8 +84,17 @@ class Schnet(nn.Module):
         n = Dense(units, activation="linear", name="embed_to_units")(n)
         Inter = nn.remat(SchNetInteraction) if cfg.get("remat") \
             else SchNetInteraction
+        inter_args = dict(cfg["interaction_args"])
+        if inter_args.get("fused_chain"):
+            # the fused-chain kernels recompute the gauss basis from
+            # positions in VMEM — only valid when the basis really is
+            # gauss(distance(positions))
+            if not (cfg["make_distance"] and cfg["expand_distance"]):
+                raise ValueError("fused_chain requires make_distance and "
+                                 "expand_distance")
+            inter_args["gauss_args"] = cfg["gauss_args"]
         for i in range(cfg["depth"]):
-            n = Inter(**cfg["interaction_args"], dtype=dtype,
+            n = Inter(**inter_args, dtype=dtype,
                       name=f"interaction_{i}")(batch, n, ed)
 
         n = MLP(cfg["last_mlp"]["units"], activation=cfg["last_mlp"]["activation"],
