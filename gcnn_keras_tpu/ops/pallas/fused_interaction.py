@@ -73,6 +73,10 @@ from .fused_g4 import (N_BLK, W_WIN, _block_window, _dot_nt, _gather_t,
 Array = jax.Array
 
 E_BLK = 1024
+# the hesjvp kernel holds ~3x the live (U, B) registers of the others; at
+# B=1024 it overflows the 16 MB scoped-VMEM stack (measured 19.04M on the
+# v5e) — it runs at half the chunk size instead
+E_BLK_HES = 512
 _LOG2 = 0.6931471805599453
 
 # Tests set True to run the kernels in interpreter mode on CPU (the
@@ -173,20 +177,20 @@ def _pad_lanes(x, to=128):
 
 # ------------------------------------------------------------- kernels ---
 
-def _chunk_setup(off_ref, i, n_pad):
+def _chunk_setup(off_ref, i, n_pad, e_blk):
     e0 = off_ref[i]
     e1 = off_ref[i + 1]
-    start = (e0 // E_BLK) * E_BLK
-    num_chunks = jax.lax.max(((e1 + E_BLK - 1 - start) // E_BLK), 0)
+    start = (e0 // e_blk) * e_blk
+    num_chunks = jax.lax.max(((e1 + e_blk - 1 - start) // e_blk), 0)
     s_lo = _block_window(i, n_pad)
     return start, num_chunks, s_lo
 
 
-def _ids_dma(ids_hbm, iscr, sems, start):
+def _ids_dma(ids_hbm, iscr, sems, start, e_blk):
     def dma(slot, chunk):
-        a0 = start + chunk * E_BLK
+        a0 = start + chunk * e_blk
         return pltpu.make_async_copy(
-            ids_hbm.at[:, pl.ds(a0, E_BLK)], iscr.at[slot], sems.at[slot])
+            ids_hbm.at[:, pl.ds(a0, e_blk)], iscr.at[slot], sems.at[slot])
     return dma
 
 
@@ -201,7 +205,7 @@ def _make_fwd_kernel(st: CFStatic, n_pad: int):
     def kernel(off_ref, ids_hbm, x_hbm, p_hbm, w1a_ref, w2a_ref, out_ref,
                acc, xwin, pwin, iscr, sems, xsem, psem):
         i = pl.program_id(0)
-        start, num_chunks, s_lo = _chunk_setup(off_ref, i, n_pad)
+        start, num_chunks, s_lo = _chunk_setup(off_ref, i, n_pad, E_BLK)
         pltpu.make_async_copy(x_hbm.at[:, pl.ds(s_lo, W_WIN)], xwin,
                               xsem).start()
         pltpu.make_async_copy(p_hbm.at[:, pl.ds(s_lo, W_WIN)], pwin,
@@ -211,7 +215,7 @@ def _make_fwd_kernel(st: CFStatic, n_pad: int):
             jnp.int32, (N_BLK, E_BLK), 0) + i * N_BLK
         win_ids = jax.lax.broadcasted_iota(
             jnp.int32, (W_WIN, E_BLK), 0) + s_lo
-        dma = _ids_dma(ids_hbm, iscr, sems, start)
+        dma = _ids_dma(ids_hbm, iscr, sems, start, E_BLK)
 
         @pl.when(num_chunks > 0)
         def _():
@@ -250,7 +254,7 @@ def _make_vjp_kernel(st: CFStatic, n_pad: int):
                accp, accpw, accxw, xwin, pwin, ctblk, iscr, sems, xsem,
                psem, ctsem):
         i = pl.program_id(0)
-        start, num_chunks, s_lo = _chunk_setup(off_ref, i, n_pad)
+        start, num_chunks, s_lo = _chunk_setup(off_ref, i, n_pad, E_BLK)
         pltpu.make_async_copy(x_hbm.at[:, pl.ds(s_lo, W_WIN)], xwin,
                               xsem).start()
         pltpu.make_async_copy(p_hbm.at[:, pl.ds(s_lo, W_WIN)], pwin,
@@ -270,7 +274,7 @@ def _make_vjp_kernel(st: CFStatic, n_pad: int):
             jnp.int32, (N_BLK, E_BLK), 0) + i * N_BLK
         win_ids = jax.lax.broadcasted_iota(
             jnp.int32, (W_WIN, E_BLK), 0) + s_lo
-        dma = _ids_dma(ids_hbm, iscr, sems, start)
+        dma = _ids_dma(ids_hbm, iscr, sems, start, E_BLK)
 
         @pl.when(num_chunks > 0)
         def _():
@@ -327,7 +331,8 @@ def _make_hesjvp_kernel(st: CFStatic, n_pad: int):
                accju, accp, accpw, accxw, xwin, pwin, uxwin, upwin, ctblk,
                iscr, sems, xsem, psem, uxsem, upsem, ctsem):
         i = pl.program_id(0)
-        start, num_chunks, s_lo = _chunk_setup(off_ref, i, n_pad)
+        start, num_chunks, s_lo = _chunk_setup(off_ref, i, n_pad,
+                                               E_BLK_HES)
         pltpu.make_async_copy(x_hbm.at[:, pl.ds(s_lo, W_WIN)], xwin,
                               xsem).start()
         pltpu.make_async_copy(p_hbm.at[:, pl.ds(s_lo, W_WIN)], pwin,
@@ -349,10 +354,10 @@ def _make_hesjvp_kernel(st: CFStatic, n_pad: int):
             ww2_ref[...] = jnp.zeros_like(ww2_ref)
 
         row_ids = jax.lax.broadcasted_iota(
-            jnp.int32, (N_BLK, E_BLK), 0) + i * N_BLK
+            jnp.int32, (N_BLK, E_BLK_HES), 0) + i * N_BLK
         win_ids = jax.lax.broadcasted_iota(
-            jnp.int32, (W_WIN, E_BLK), 0) + s_lo
-        dma = _ids_dma(ids_hbm, iscr, sems, start)
+            jnp.int32, (W_WIN, E_BLK_HES), 0) + s_lo
+        dma = _ids_dma(ids_hbm, iscr, sems, start, E_BLK_HES)
 
         @pl.when(num_chunks > 0)
         def _():
@@ -576,7 +581,7 @@ def _cf_hesjvp(x, pos, w1a, w2a, ct, u_x, u_pos, u_w1a, u_w2a,
         pltpu.VMEM((st.u_pad, W_WIN), jnp.float32),
         pltpu.VMEM((8, W_WIN), jnp.float32),
         pltpu.VMEM((st.u_pad, N_BLK), jnp.float32),
-        pltpu.VMEM((2, 4, E_BLK), jnp.int32),
+        pltpu.VMEM((2, 4, E_BLK_HES), jnp.int32),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA,
         pltpu.SemaphoreType.DMA,
