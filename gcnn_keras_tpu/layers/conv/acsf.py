@@ -297,7 +297,11 @@ class ACSFG4(nn.Module):
             # fixed per-block costs beat the fusion win — measured 404 vs
             # 388 us/MD-step on a 1.3k-angle single-molecule trajectory
             # vs 1.62x at the 100k-angle flagship batch
-            big_enough = bool(self.fused) or batch.angles.shape[0] >= 8192
+            # 4096-angle gate (r5): a 520-atom single-molecule step
+            # measured fused-G4 winning at 6.2k angles (3.18 -> 2.94 ms,
+            # tools/qeq_crossover.py); the 1.3k-angle MD case still loses
+            # (r4 addendum) — the crossover sits between.
+            big_enough = bool(self.fused) or batch.angles.shape[0] >= 4096
             if not reasons and big_enough:
                 from ...ops.pallas import fused_g4
                 st = fused_g4.make_static(table, self.element_mapping,

@@ -93,7 +93,13 @@ class CENTCharge(nn.Module):
     # molecules never materialize M^2; qeq_solver.py), "auto" = iterative
     # from ``iterative_threshold`` atoms up.
     solver: str = "auto"
-    iterative_threshold: int = 512
+    # Measured on the v5e (tools/qeq_crossover.py, r5): the batched dense
+    # LU beats the sequential latency-bound CG chain 2.4x / 2.8x / 3.3x at
+    # 520 / 1040 / 2080 atoms with identical losses — the crossover has
+    # not been reached by any measured size. 4096 is conservative: beyond
+    # it the per-molecule (M+1)^2 matrix and O(M^3) LU grow into real
+    # costs and CG's O(M*block) memory is the point.
+    iterative_threshold: int = 4096
     cg_tol: float = 1e-6
 
     @nn.compact
