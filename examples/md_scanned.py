@@ -10,12 +10,13 @@ jitted lax.scan and re-neighbors on the host between segments — measured
 Run (CPU): python examples/md_scanned.py
 Run (TPU): just run it under the axon platform; first segment compiles.
 """
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def make_molecule(n, seed):
