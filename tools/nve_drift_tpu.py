@@ -50,10 +50,14 @@ def main():
 
     results = {"steps": steps, "atoms": n,
                "edges": int(np.asarray(batch.edge_mask).sum())}
-    for tag, fused in (("unfused", False), ("fused_gms", True)):
+    # accurate = the fully fused f32-HIGHEST cfconv accuracy mode
+    # (interaction_args={"accurate_cfconv": True}, VERDICT r4 item 6):
+    # does its 38x micro-level force accuracy matter for NVE drift?
+    for tag, args in (("unfused", {"fused_aggregate": False}),
+                      ("fused_gms", {"fused_aggregate": True}),
+                      ("accurate", {"accurate_cfconv": True})):
         model = schnet.make_model(
-            depth=2, interaction_args={"units": 32,
-                                       "fused_aggregate": fused},
+            depth=2, interaction_args={"units": 32, **args},
             gauss_args={"bins": 16, "distance_max": 6.0, "sigma": 0.4},
             last_mlp={"units": [32, 16],
                       "activation": ["shifted_softplus"] * 2},
