@@ -571,6 +571,54 @@ def _family_record(jax, step_fn, args, n_edges, loop_iters=10, k=10):
             "edges_per_sec_scan": round(n_edges / dt_scan, 1)}
 
 
+def sec_gcn_cora(jax, jnp, optax):
+    """GCN node classification at Cora scale (BASELINE target family 1:
+    GCN/Cora, 70-class) — one 2708-node citation graph, 1433-dim sparse
+    features, full-batch training step (the reference protocol). Completes
+    throughput records for all five BASELINE families."""
+    from gcnn_keras_tpu.batch import batch_graphs
+    from gcnn_keras_tpu.data.datasets.synthetic import (
+        SyntheticCitationDataset)
+    from gcnn_keras_tpu.models.gcn import make_model
+    from gcnn_keras_tpu.training.losses import (
+        masked_categorical_crossentropy)
+
+    from gcnn_keras_tpu.graph.preprocess import (
+        normalize_edge_weights_symmetric, set_edge_weights_uniform)
+
+    ds = SyntheticCitationDataset(num_nodes=2708, num_classes=70,
+                                  feature_dim=1433, avg_degree=4, seed=1)
+    g = dict(ds[0])
+    g = normalize_edge_weights_symmetric(set_edge_weights_uniform(g))
+    batch = batch_graphs([g])
+    labels = jnp.asarray(np.asarray(g["node_labels"]))
+    labels = jnp.pad(labels, (0, batch.n_node - labels.shape[0]))
+    n_edges = int(np.asarray(batch.edge_mask).sum())
+
+    model = make_model(depth=3, gcn_args={"units": 140},
+                       output_embedding="node",
+                       output_mlp={"units": [70], "activation": ["linear"]})
+    params = jax.jit(lambda k, b: model.init(k, b))(
+        jax.random.PRNGKey(0), batch)
+
+    def loss_fn(p, b):
+        logits = model.apply(p, b)["output"]
+        return masked_categorical_crossentropy(logits, labels,
+                                               b.node_mask), {}
+
+    optimizer = optax.adam(1e-2)
+    opt_state = optimizer.init(params)
+
+    def step_fn(p, s, b):
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(p, b)
+        upd, s = optimizer.update(grads, s, p)
+        return optax.apply_updates(p, upd), s, loss
+
+    rec = _family_record(jax, step_fn, (params, opt_state, batch), n_edges)
+    rec["nodes"] = 2708
+    RECORD["gcn_cora"] = rec
+
+
 def sec_painn(jax, jnp, optax):
     """PAiNN E+F train step (BASELINE target family 3; config mirrors
     force_painn.py: depth 3, 128 units, 20 radial Bessel, 5.0 cutoff).
@@ -820,6 +868,7 @@ def main():
         _section("hdnnp_qeq", 40, sec_hdnnp_qeq, jax, jnp, hdnnp_ctx)
     _section("painn", 130, sec_painn, jax, jnp, optax)
     _section("hdnnp2nd", 130, sec_hdnnp2nd, jax, jnp, optax)
+    _section("gcn_cora", 60, sec_gcn_cora, jax, jnp, optax)
     md_ctx = _section("md_single", 130, sec_md_single, jax, jnp)
     if md_ctx is not None:
         _section("md_ensemble", 110, sec_md_ensemble, jax, md_ctx)
