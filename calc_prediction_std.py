@@ -23,14 +23,13 @@ def main():
     args = ap.parse_args()
 
     import importlib
+    from gcnn_keras_tpu.training.force_script import (load_force_dataset,
+                                                      script_config)
     mod = importlib.import_module(args.script)
-    cfg = dict(mod.CONFIG)
-    if args.data_path:
-        cfg["data_path"] = args.data_path
+    cfg = script_config(mod, data_path=args.data_path)
     if hasattr(mod, "load_dataset"):
         ds = mod.load_dataset(cfg)
     else:
-        from gcnn_keras_tpu.training.force_script import load_force_dataset
         ds = load_force_dataset(cfg)
     members = load_ensemble(args.prefix, mod.build_model, cfg)
 

@@ -73,13 +73,12 @@ def main():
     args = ap.parse_args()
 
     import importlib
+    from gcnn_keras_tpu.training.force_script import script_config
     mod = importlib.import_module(args.script)
-    cfg = dict(mod.CONFIG)
+    cfg = script_config(mod, data_path=args.data_path)
     if args.conf:
         with open(args.conf) as f:
             cfg.update(json.load(f))
-    if args.data_path:
-        cfg["data_path"] = args.data_path
     if hasattr(mod, "load_dataset"):
         ds = mod.load_dataset(cfg)
     else:

@@ -52,6 +52,18 @@ DEFAULTS = {
 }
 
 
+def script_config(mod, **overrides) -> Dict:
+    """Engine DEFAULTS merged UNDER a fork script module's CONFIG (the rule
+    every config consumer must follow — charge_/energy_* scripts' CONFIGs
+    lack engine keys like "cutoff" and KeyError without it; pinned by
+    tests/test_force_script.py for load_model, evaluate_models,
+    calc_prediction_std and transfer_learning)."""
+    cfg = dict(DEFAULTS)
+    cfg.update(mod.CONFIG)
+    cfg.update({k: v for k, v in overrides.items() if v is not None})
+    return cfg
+
+
 def normalized_loss_weights(cfg: Dict) -> Dict[str, float]:
     """Charge/energy/force loss weights normalized over ALL three configured
     weights (reference ``force_hdnnp4th.py:228-245``). Factored out so the

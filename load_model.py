@@ -17,14 +17,11 @@ def load_and_predict(checkpoint: str, script: str = "force_hdnnp4th",
     (pinned by tests/test_force_script.py)."""
     import importlib
     from gcnn_keras_tpu.utils.checkpoint import load_checkpoint
-    from gcnn_keras_tpu.training.force_script import (DEFAULTS,
-                                                      load_force_dataset)
+    from gcnn_keras_tpu.training.force_script import (load_force_dataset,
+                                                      script_config)
 
     mod = importlib.import_module(script)
-    cfg = dict(DEFAULTS)
-    cfg.update(mod.CONFIG)
-    if data_path:
-        cfg["data_path"] = data_path
+    cfg = script_config(mod, data_path=data_path)
     ds = mod.load_dataset(cfg) if hasattr(mod, "load_dataset") \
         else load_force_dataset(cfg)
     ds = ds[list(range(min(n_frames, len(ds))))]

@@ -167,3 +167,94 @@ def test_energy_engine_end_to_end(tmp_path, monkeypatch):
     assert np.isfinite(score["loss_mean"])
     assert score["loss_mean"] < 100.0
     _assert_run_artifacts("model_hdnnp4th_energy")
+
+
+# -------------------------------------- ensemble/transfer user surfaces ---
+
+@pytest.fixture(scope="module")
+def trained_schnet_ensemble(tmp_path_factory):
+    """One tiny 2-fold force_schnet ensemble, trained once for the
+    evaluate_models / calc_prediction_std / transfer_learning tests."""
+    workdir = tmp_path_factory.mktemp("ensemble")
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    try:
+        import force_schnet
+        # keep the script's ARCHITECTURE (the ensemble scripts rebuild the
+        # model from force_schnet.CONFIG); shrink only run-size knobs
+        cfg = _tiny(force_schnet.CONFIG)
+        cfg.pop("mlp_units")
+        run_force_training(force_schnet.build_model, cfg)
+    finally:
+        os.chdir(cwd)
+    return workdir
+
+
+@pytest.mark.smoke
+@pytest.mark.parametrize("script", ["charge_hdnnp4th", "energy_hdnnp4th"])
+def test_script_config_helper_covers_engine_keys(script):
+    """The shared script_config merge must make load_force_dataset-ready
+    configs for scripts whose CONFIG lacks engine keys (the KeyError
+    class that previously hit calc_prediction_std/transfer_learning)."""
+    import importlib
+    from gcnn_keras_tpu.training.force_script import script_config
+    cfg = script_config(importlib.import_module(script),
+                        data_path=None, synthetic_frames=4)
+    assert cfg["cutoff"] > 0 and cfg["max_neighbours"] > 0
+    assert cfg["synthetic_frames"] == 4
+
+
+def test_evaluate_models_ensemble(trained_schnet_ensemble, monkeypatch):
+    monkeypatch.chdir(trained_schnet_ensemble)
+    monkeypatch.setattr(sys, "argv",
+                        ["evaluate_models.py", "--prefix",
+                         "model_schnet_force", "--script", "force_schnet",
+                         "--output-dir", "eval_out"])
+    import evaluate_models
+    evaluate_models.main()
+    assert os.path.exists("eval_out/errors_0.json") \
+        or os.path.exists("eval_out/errors0.json")
+
+
+def test_calc_prediction_std(trained_schnet_ensemble, monkeypatch, capsys):
+    monkeypatch.chdir(trained_schnet_ensemble)
+    monkeypatch.setattr(sys, "argv",
+                        ["calc_prediction_std.py", "--prefix",
+                         "model_schnet_force", "--script", "force_schnet",
+                         "--threshold", "0.0"])
+    import calc_prediction_std
+    calc_prediction_std.main()
+    report = json.loads(capsys.readouterr().out)
+    assert "force_std_mean" in report
+    assert np.isfinite(report["force_std_mean"])
+    # threshold 0.0 flags every frame (ensemble members disagree)
+    assert len(report["flagged_frames"]) > 0
+
+
+def test_transfer_learning_freezes_representation(trained_schnet_ensemble,
+                                                  monkeypatch):
+    monkeypatch.chdir(trained_schnet_ensemble)
+    monkeypatch.setattr(sys, "argv",
+                        ["transfer_learning.py", "--checkpoint",
+                         "model_schnet_force_0", "--script", "force_schnet",
+                         "--epochs", "2", "--trainable", "output_mlp",
+                         "--out", "model_transfer_test"])
+    import transfer_learning
+    from gcnn_keras_tpu.utils.checkpoint import load_checkpoint
+    before = load_checkpoint("model_schnet_force_0")["params"]
+    transfer_learning.main()
+    after = load_checkpoint("model_transfer_test")["params"]
+
+    import jax
+    changed, frozen_ok = [], []
+    for (path, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(before),
+                                 jax.tree_util.tree_leaves_with_path(after)):
+        name = "/".join(str(p.key) for p in path if hasattr(p, "key"))
+        same = np.allclose(np.asarray(a), np.asarray(b))
+        if "output_mlp" in name:
+            changed.append((name, not same))
+        else:
+            frozen_ok.append((name, same))
+    assert any(flag for _, flag in changed), "head params never moved"
+    assert all(flag for _, flag in frozen_ok), \
+        [n for n, f in frozen_ok if not f]

@@ -43,10 +43,9 @@ def main():
     from gcnn_keras_tpu.data.loader import GraphBatchLoader
     from gcnn_keras_tpu.data.scalers import EnergyForceExtensiveLabelScaler
 
+    from gcnn_keras_tpu.training.force_script import script_config
     mod = importlib.import_module(args.script)
-    cfg = dict(mod.CONFIG)
-    if args.data_path:
-        cfg["data_path"] = args.data_path
+    cfg = script_config(mod, data_path=args.data_path)
     ds = mod.load_dataset(cfg) if hasattr(mod, "load_dataset") \
         else load_force_dataset(cfg)
     fmodel = mod.build_model(cfg)
