@@ -301,8 +301,7 @@ def _make_vjp_kernel(st: CFStatic, n_pad: int):
             pj = _gather_t(pwin[...], oh_j)
             xj = _gather_rows(xwin[...], oh_j)
             # per-edge cotangent of the message: rows of the block ct
-            oh_rt = (ids[0:1] == row_ids).astype(jnp.float32)
-            ct_m = _gather_rows(ctblk[...], oh_rt)      # (u_pad, B)
+            ct_m = _gather_rows(ctblk[...], oh_r)       # (u_pad, B)
 
             _, pull = jax.vjp(
                 lambda a, b, c, d, e: _chain(st, a, b, c, d, e),
@@ -387,8 +386,7 @@ def _make_hesjvp_kernel(st: CFStatic, n_pad: int):
             dpi = _gather_t(upwin[...], oh_i)
             dpj = _gather_t(upwin[...], oh_j)
             dxj = _gather_rows(uxwin[...], oh_j)
-            oh_rt = (ids[0:1] == row_ids).astype(jnp.float32)
-            ct_m = _gather_rows(ctblk[...], oh_rt)
+            ct_m = _gather_rows(ctblk[...], oh_r)
             w1a = w1a_ref[...]
             w2a = w2a_ref[...]
             uw1 = uw1_ref[...]
@@ -466,8 +464,8 @@ def _grid_spec(n_pad, n_hbm_inputs, n_vmem_inputs, out_specs,
 @functools.partial(jax.jit, static_argnames=("st", "n_node", "interpret"))
 def _cf_fwd(x, pos, w1a, w2a, senders, receivers, edge_mask,
             st: CFStatic, n_node: int, interpret: bool = False):
-    ids, offsets, e_pad, n_pad = _prep_edges(senders, receivers, edge_mask,
-                                             n_node, 0)
+    ids, offsets, _, n_pad = _prep_edges(senders, receivers, edge_mask,
+                                         n_node, 0)
     x_t = _pack_x_t(x, st.u_pad, n_pad)
     p_t = _pack_p_t(pos, n_pad)
     out = pl.pallas_call(
@@ -498,13 +496,15 @@ def _ct_t(ct, st, n_pad, n_node):
 @functools.partial(jax.jit, static_argnames=("st", "n_node", "interpret"))
 def _cf_vjp(x, pos, w1a, w2a, ct, senders, receivers, edge_mask,
             st: CFStatic, n_node: int, interpret: bool = False):
-    ids, offsets, e_pad, n_pad = _prep_edges(senders, receivers, edge_mask,
-                                             n_node, 0)
+    ids, offsets, _, n_pad = _prep_edges(senders, receivers, edge_mask,
+                                         n_node, 0)
     x_t = _pack_x_t(x, st.u_pad, n_pad)
     p_t = _pack_p_t(pos, n_pad)
     ct_t = _ct_t(ct, st, n_pad, n_node)
     n_blocks = n_pad // N_BLK
-    const = functools.partial(lambda i, off: (0, 0))
+
+    def const(i, off):
+        return (0, 0)
     out_specs = [
         pl.BlockSpec((N_BLK, 128), lambda i, off: (i, 0),
                      memory_space=pltpu.VMEM),
@@ -550,15 +550,17 @@ def _cf_vjp(x, pos, w1a, w2a, ct, senders, receivers, edge_mask,
 def _cf_hesjvp(x, pos, w1a, w2a, ct, u_x, u_pos, u_w1a, u_w2a,
                senders, receivers, edge_mask, st: CFStatic, n_node: int,
                interpret: bool = False):
-    ids, offsets, e_pad, n_pad = _prep_edges(senders, receivers, edge_mask,
-                                             n_node, 0)
+    ids, offsets, _, n_pad = _prep_edges(senders, receivers, edge_mask,
+                                         n_node, 0)
     x_t = _pack_x_t(x, st.u_pad, n_pad)
     p_t = _pack_p_t(pos, n_pad)
     ux_t = _pack_x_t(u_x, st.u_pad, n_pad)
     up_t = _pack_p_t(u_pos, n_pad)
     ct_t = _ct_t(ct, st, n_pad, n_node)
     n_blocks = n_pad // N_BLK
-    const = functools.partial(lambda i, off: (0, 0))
+
+    def const(i, off):
+        return (0, 0)
     out_specs = [
         pl.BlockSpec((N_BLK, st.u_pad), lambda i, off: (i, 0),
                      memory_space=pltpu.VMEM),
