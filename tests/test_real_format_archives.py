@@ -260,3 +260,85 @@ def test_qm7_dataset_parses_published_mat(dataset_cache, monkeypatch):
         assert len(g["node_number"]) == sizes[i]
         # coordinates were converted bohr -> Angstrom
         assert g["graph_labels"] == pytest.approx([T[i]], rel=1e-5)
+
+
+def test_md17_original_npz(dataset_cache, monkeypatch):
+    """Original MD17 release format (quantum-machine.org gdml npz:
+    keys z, R, E, F — E shaped (n, 1) in the published files)."""
+    from gcnn_keras_tpu.data.datasets.md17 import MD17Dataset
+    src = dataset_cache / "srv"
+    src.mkdir()
+    rs = np.random.RandomState(4)
+    z = rs.choice([1, 6, 8], size=9).astype(np.int64)
+    data = dict(z=z,
+                R=rs.randn(6, 9, 3).astype(np.float64),
+                E=rs.randn(6, 1).astype(np.float64) * 1e5,
+                F=rs.randn(6, 9, 3).astype(np.float64))
+    npz = src / "md17_aspirin_dft.npz"
+    np.savez(str(npz), **data)
+    monkeypatch.setattr(MD17Dataset, "_url_base",
+                        "file://" + os.path.abspath(str(src)) + "/")
+    ds = MD17Dataset(trajectory_name="aspirin_dft")
+    ds.read_in_memory(max_frames=4)
+    assert len(ds) == 4
+    np.testing.assert_array_equal(ds[0]["node_number"], z)
+    np.testing.assert_allclose(ds[1]["energy"], [data["E"][1, 0]],
+                               rtol=1e-6)
+    np.testing.assert_allclose(ds[2]["force"], data["F"][2], rtol=1e-6)
+
+
+def test_matbench_json_gz(dataset_cache, monkeypatch):
+    """MatBench task format (ml.materialsproject.org json.gz: {"data":
+    [[pymatgen Structure dict, target], ...]} with lattice.matrix +
+    sites[].abc/species[].element)."""
+    import gzip
+    import json as jsonlib
+    from gcnn_keras_tpu.data.datasets.matproject import MatBenchDataset2020
+
+    src = dataset_cache / "srv"
+    src.mkdir()
+    rs = np.random.RandomState(5)
+    rows = []
+    for i in range(3):
+        lattice = (np.eye(3) * (4.0 + i * 0.2)).tolist()
+        sites = []
+        for el, abc in (("Fe", [0.0, 0.0, 0.0]), ("O", [0.5, 0.5, 0.5])):
+            sites.append({"species": [{"element": el, "occu": 1}],
+                          "abc": abc, "xyz": None, "label": el})
+        rows.append([{"@module": "pymatgen.core.structure",
+                      "@class": "Structure",
+                      "lattice": {"matrix": lattice},
+                      "sites": sites}, float(rs.randn())])
+    payload = {"index": list(range(3)),
+               "columns": ["structure", "e_form"], "data": rows}
+    gz = src / "matbench_mp_e_form.json.gz"
+    with gzip.open(str(gz), "wt") as f:
+        jsonlib.dump(payload, f)
+
+    class PatchedTask(MatBenchDataset2020):
+        pass
+
+    import gcnn_keras_tpu.data.datasets.matproject as mp
+
+    def patched_init(self, dataset_name="matbench_mp_e_form", reload=False,
+                     **kw):
+        self._task = dataset_name
+        self._label_is_class = False
+        from gcnn_keras_tpu.data.download import DownloadDataset
+        name = type(self).__name__.replace("Dataset", "")
+        dl = DownloadDataset(name,
+                             download_url="file://" + os.path.abspath(str(gz)),
+                             download_file_name=f"{dataset_name}.json.gz",
+                             extract_gz=True, reload=reload)
+        mp.CrystalDataset.__init__(self, data_directory=dl.data_directory,
+                                   dataset_name=name, **kw)
+
+    monkeypatch.setattr(PatchedTask, "__init__", patched_init)
+    ds = PatchedTask()
+    ds.read_in_memory(radius=4.0, max_neighbours=8)
+    assert len(ds) == 3
+    g = ds[0]
+    assert set(np.asarray(g["node_number"])) == {26, 8}  # Fe, O
+    assert "graph_lattice" in g or "lattice" in g or "range_indices" in g \
+        or "edge_indices" in g
+    assert g["graph_labels"].shape == (1,)
