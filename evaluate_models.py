@@ -75,10 +75,14 @@ def main():
     import importlib
     from gcnn_keras_tpu.training.force_script import script_config
     mod = importlib.import_module(args.script)
-    cfg = script_config(mod, data_path=args.data_path)
+    cfg = script_config(mod)
     if args.conf:
         with open(args.conf) as f:
             cfg.update(json.load(f))
+    # the CLI flag wins over a data_path inside --conf (parse_config_cli
+    # order: CONFIG -> conf -> explicit flags)
+    if args.data_path:
+        cfg["data_path"] = args.data_path
     if hasattr(mod, "load_dataset"):
         ds = mod.load_dataset(cfg)
     else:

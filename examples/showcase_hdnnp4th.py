@@ -83,7 +83,10 @@ hint = ds.batch_shape_hint(8)
 loader = GraphBatchLoader(list(ds), 8, shuffle=True, seed=0,
                           global_keys=("energy", "total_charge"), **hint)
 first = next(iter(loader))
-params = fmodel.init(jax.random.PRNGKey(0), first, train=False)
+# jit the init: an EAGER flax init on a tunneled TPU dispatches every op
+# separately (minutes); jitted it is one launch
+params = jax.jit(lambda k, b: fmodel.init(k, b, train=False))(
+    jax.random.PRNGKey(0), first)
 
 
 def loss_fn(p, b):

@@ -24,6 +24,12 @@ from ..mlp import Dense
 Array = jax.Array
 
 
+def _is_ssp(activation) -> bool:
+    """True for either spelling of the reference filter activation
+    (ops/activ.py registers the config-parity alias)."""
+    return activation in ("shifted_softplus", "kgcnn>shifted_softplus")
+
+
 class SchNetCFconv(nn.Module):
     units: int
     activation: Any = "shifted_softplus"
@@ -61,7 +67,7 @@ class SchNetCFconv(nn.Module):
             if out is not None:
                 return out
         if self.accurate_cfconv:
-            if (self.activation != "shifted_softplus" or not self.use_bias
+            if (not _is_ssp(self.activation) or not self.use_bias
                     or self.cfconv_pool != "sum"):
                 raise ValueError(
                     "accurate_cfconv requires the reference cfconv config "
@@ -86,7 +92,7 @@ class SchNetCFconv(nn.Module):
         return None to fall back to the unfused path."""
         from ...ops.pallas import fused_interaction as fi
 
-        if (self.activation != "shifted_softplus" or not self.use_bias
+        if (not _is_ssp(self.activation) or not self.use_bias
                 or self.cfconv_pool != "sum" or self.dtype is not None):
             raise ValueError(
                 "fused_chain requires the reference cfconv config "

@@ -623,11 +623,6 @@ def _augment(w1, b1, w2, b2, st: CFStatic):
     return w1a, w2a
 
 
-def _deaugment(dw1a, dw2a, st: CFStatic):
-    return (dw1a[:st.bins, :st.units], dw1a[st.bins, :st.units],
-            dw2a[:st.units, :st.units], dw2a[st.u_pad, :st.units])
-
-
 def cfconv_fused_chain(x: Array, pos: Array, w1: Array, b1: Array,
                        w2: Array, b2: Array, senders: Array,
                        receivers: Array, edge_mask: Array, st: CFStatic,

@@ -173,11 +173,9 @@ def test_rmd17_dataset_parses_published_npz(dataset_cache, monkeypatch):
     src = dataset_cache / "srv"
     src.mkdir()
     npz_path, data = _make_rmd17_npz(str(src), name="aspirin")
-    monkeypatch.setattr(
-        MD17RevisedDataset, "_url_base",
-        "file://" + os.path.abspath(str(src)) + "/")
-    # the class builds url_base + f"rmd17_{name}.npz" + "&record_id=466";
-    # strip the query for the file:// fixture by pointing at the file
+    # the class builds url_base + f"rmd17_{name}.npz" + "&record_id=466" —
+    # a query urllib cannot apply to file://, so the constructor override
+    # below keeps the real DownloadDataset flow with a resolvable URL
     monkeypatch.setattr(
         MD17RevisedDataset, "__init__", _patched_rmd17_init(npz_path))
     ds = MD17RevisedDataset(trajectory_name="aspirin")
