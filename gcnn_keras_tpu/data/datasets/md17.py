@@ -85,9 +85,18 @@ class MD17RevisedDataset(MD17Dataset):
 
 
 class ISO17Dataset(MemoryGraphDataset):
-    """ISO17 C7O2H10 isomer trajectories (kgcnn/data/datasets/ISO17Dataset)."""
+    """ISO17 C7O2H10 isomer trajectories (parity:
+    ``kgcnn/data/datasets/ISO17Dataset.py:82-127``): five ASE-sqlite dbs
+    holding 129 molecules x 5000 MD frames with total energies (eV) and
+    atomic forces (eV/Ang), partitioned as in the SchNet paper."""
 
     _url = "http://quantum-machine.org/datasets/iso17.tar.gz"
+
+    # (db file, train split index, test split index) in the reference's
+    # documented order — 'reference*' dbs are training material.
+    _DB_SPLITS = [("reference.db", 0, None), ("reference_eq.db", 1, None),
+                  ("test_within.db", None, 0), ("test_other.db", None, 1),
+                  ("test_eq.db", None, 2)]
 
     def __init__(self, reload: bool = False, **kwargs):
         dl = DownloadDataset("ISO17", download_url=self._url,
@@ -95,3 +104,52 @@ class ISO17Dataset(MemoryGraphDataset):
                              reload=reload)
         super().__init__(data_directory=dl.data_directory, dataset_name="ISO17",
                          **kwargs)
+
+    def _db_dir(self) -> str:
+        # the published tarball carries a top-level iso17/ directory
+        nested = os.path.join(self.data_directory, "iso17")
+        return nested if os.path.isdir(nested) else self.data_directory
+
+    def read_in_memory(self, max_frames_per_db: Optional[int] = None, **kwargs):
+        """Read all five dbs in the reference's order.  Each graph gets
+        ``train``/``test`` split indices like the reference assigns
+        (ISO17Dataset.py:103-116) plus ``valid``=0 for the ids listed in
+        ``validation_ids.txt`` (1-based into reference.db)."""
+        from ...mol.ase_db import read_ase_sqlite
+        base = self._db_dir()
+        first = os.path.join(base, self._DB_SPLITS[0][0])
+        if not os.path.exists(first):
+            raise FileNotFoundError(
+                f"{first} missing — offline? Use SyntheticMDDataset.")
+        for db_name, train, test in self._DB_SPLITS:
+            count = 0
+            for row in read_ase_sqlite(os.path.join(base, db_name)):
+                if max_frames_per_db is not None and count >= max_frames_per_db:
+                    break
+                energy = row["key_value_pairs"].get("total_energy",
+                                                    row["energy"])
+                forces = row["data"].get("atomic_forces", row["forces"])
+                g = {
+                    "node_number": row["numbers"],
+                    "node_coordinates": row["positions"].astype(np.float32),
+                    "energy": np.array([energy], dtype=np.float32),
+                }
+                if forces is not None:
+                    g["force"] = np.asarray(forces, dtype=np.float32)
+                if train is not None:
+                    g["train"] = np.array(train)
+                if test is not None:
+                    g["test"] = np.array(test)
+                self.append(g)
+                count += 1
+        valid_file = os.path.join(base, "validation_ids.txt")
+        if os.path.exists(valid_file):
+            with open(valid_file) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    i = int(line) - 1
+                    if 0 <= i < len(self):
+                        self[i]["valid"] = np.array(0)
+        return self

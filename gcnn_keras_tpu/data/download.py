@@ -67,7 +67,9 @@ class DownloadDataset:
             logger.info("unpacked directory %s exists; skipping untar", out)
             return
         with tarfile.open(path) as tar:
-            tar.extractall(out)
+            # 'data' filter = safe extraction (no abs paths/links outside
+            # the target); also the 3.14 default.
+            tar.extractall(out, filter="data")
 
     def _unzip(self, path: str, out_name: Optional[str], reload: bool):
         out = os.path.join(self.data_directory, out_name) if out_name \

@@ -340,3 +340,249 @@ def test_matbench_json_gz(dataset_cache, monkeypatch):
     assert "graph_lattice" in g or "lattice" in g or "range_indices" in g \
         or "edge_indices" in g
     assert g["graph_labels"].shape == (1,)
+
+
+# ------------------------------------------------- round-5 widened formats ---
+
+def _write_ase_sqlite(path, rows):
+    """Create an ASE-format sqlite db (published schema: one ``systems``
+    table; array columns as little-endian blobs, ``key_value_pairs`` and
+    ``data`` as JSON text with ``{"__ndarray__": [shape, dtype, flat]}``
+    array encoding)."""
+    import json as jsonlib
+    import sqlite3
+    conn = sqlite3.connect(path)
+    conn.execute(
+        "CREATE TABLE systems (id INTEGER PRIMARY KEY AUTOINCREMENT, "
+        "unique_id TEXT UNIQUE, ctime REAL, mtime REAL, username TEXT, "
+        "numbers BLOB, positions BLOB, cell BLOB, pbc INTEGER, "
+        "masses BLOB, constraints TEXT, calculator TEXT, "
+        "calculator_parameters TEXT, energy REAL, free_energy REAL, "
+        "forces BLOB, stress BLOB, dipole BLOB, magmoms BLOB, magmom REAL, "
+        "charges BLOB, key_value_pairs TEXT, data TEXT, natoms INTEGER, "
+        "fmax REAL, smax REAL, volume REAL, mass REAL, charge REAL)")
+    conn.execute("CREATE TABLE information (name TEXT, value TEXT)")
+    conn.execute("INSERT INTO information VALUES ('version', '8')")
+    for r in rows:
+        z = np.asarray(r["numbers"], dtype="<i4")
+        pos = np.asarray(r["positions"], dtype="<f8")
+        forces = np.asarray(r["forces"], dtype=np.float64)
+        kvp = jsonlib.dumps({"total_energy": float(r["energy"])})
+        data = jsonlib.dumps({"atomic_forces": {
+            "__ndarray__": [list(forces.shape), "float64",
+                            forces.reshape(-1).tolist()]}})
+        conn.execute(
+            "INSERT INTO systems (numbers, positions, pbc, "
+            "key_value_pairs, data, natoms) VALUES (?, ?, 0, ?, ?, ?)",
+            (sqlite3.Binary(z.tobytes()), sqlite3.Binary(pos.tobytes()),
+             kvp, data, len(z)))
+    conn.commit()
+    conn.close()
+
+
+def _make_iso17_tar(dirpath):
+    """iso17.tar.gz in the published layout: a top-level ``iso17/`` dir
+    with five ASE sqlite dbs + ``validation_ids.txt`` (1-based ids into
+    reference.db)."""
+    import tarfile
+    rs = np.random.RandomState(6)
+    z = np.array([6] * 7 + [8] * 2 + [1] * 10)  # C7O2H10
+    stage = os.path.join(dirpath, "iso17")
+    os.makedirs(stage, exist_ok=True)
+
+    def frames(n, seed_shift):
+        return [dict(numbers=z,
+                     positions=rs.randn(len(z), 3),
+                     energy=-11000.0 + seed_shift + i,
+                     forces=rs.randn(len(z), 3)) for i in range(n)]
+
+    counts = {"reference.db": 4, "reference_eq.db": 2, "test_within.db": 2,
+              "test_other.db": 2, "test_eq.db": 1}
+    all_rows = {}
+    for j, (name, n) in enumerate(counts.items()):
+        rows = frames(n, j * 10)
+        all_rows[name] = rows
+        _write_ase_sqlite(os.path.join(stage, name), rows)
+    with open(os.path.join(stage, "validation_ids.txt"), "w") as f:
+        f.write("2\n4\n")
+    tar_path = os.path.join(dirpath, "iso17.tar.gz")
+    with tarfile.open(tar_path, "w:gz") as tar:
+        tar.add(stage, arcname="iso17")
+    return tar_path, all_rows, counts
+
+
+def test_iso17_ase_sqlite_tar(dataset_cache, monkeypatch):
+    """ISO17: the five ASE sqlite dbs parse through the in-house stdlib
+    reader with the reference's split/valid property assignment
+    (ISO17Dataset.py:103-127)."""
+    from gcnn_keras_tpu.data.datasets.md17 import ISO17Dataset
+    src = dataset_cache / "srv"
+    src.mkdir()
+    tar_path, all_rows, counts = _make_iso17_tar(str(src))
+    monkeypatch.setattr(ISO17Dataset, "_url",
+                        "file://" + os.path.abspath(tar_path))
+    ds = ISO17Dataset()
+    ds.read_in_memory()
+    assert len(ds) == sum(counts.values())
+    # order + numeric parity for the first db
+    ref_rows = all_rows["reference.db"]
+    for i, row in enumerate(ref_rows):
+        np.testing.assert_array_equal(ds[i]["node_number"], row["numbers"])
+        np.testing.assert_allclose(ds[i]["node_coordinates"],
+                                   row["positions"], rtol=1e-6)
+        assert ds[i]["energy"] == pytest.approx([row["energy"]], rel=1e-6)
+        np.testing.assert_allclose(ds[i]["force"], row["forces"],
+                                   rtol=1e-6)
+        assert ds[i]["train"] == 0 and "test" not in ds[i]
+    # split flags follow the documented db order
+    n_ref = counts["reference.db"]
+    assert ds[n_ref]["train"] == 1                      # reference_eq.db
+    assert ds[n_ref + counts["reference_eq.db"]]["test"] == 0  # test_within
+    assert ds[len(ds) - 1]["test"] == 2                 # test_eq.db
+    # validation ids (1-based into reference.db)
+    assert ds[1]["valid"] == 0 and ds[3]["valid"] == 0
+    assert "valid" not in ds[0]
+    # end-to-end into the force-training input path
+    ds.map_list("set_range", max_distance=4.0, max_neighbours=10)
+    for g in ds:
+        g["edge_indices"] = g["range_indices"]
+    batch = ds.to_batch(global_keys=("energy",))
+    assert batch.senders.shape == batch.receivers.shape
+
+
+def test_qm7b_mat(dataset_cache, monkeypatch):
+    """QM7b: quantum-machine.org qm7b.mat with T shaped (N, 14) and the
+    published label-column names."""
+    pytest.importorskip("scipy")
+    from scipy.io import savemat
+    from gcnn_keras_tpu.data.datasets.qm import QM7bDataset, QM7B_LABEL_NAMES
+    src = dataset_cache / "srv"
+    src.mkdir()
+    rs = np.random.RandomState(7)
+    n_mol, max_atoms = 4, 23
+    Z = np.zeros((n_mol, max_atoms))
+    R = np.zeros((n_mol, max_atoms, 3))
+    sizes = rs.randint(4, 9, size=n_mol)
+    for i, n in enumerate(sizes):
+        Z[i, :n] = rs.choice([1, 6, 7, 8, 16], size=n)
+        R[i, :n] = rs.randn(n, 3)
+    T = rs.randn(n_mol, 14) * 10.0
+    mat_path = src / "qm7b.mat"
+    savemat(str(mat_path), {"R": R, "Z": Z, "T": T})
+    monkeypatch.setattr(QM7bDataset, "_url",
+                        "file://" + os.path.abspath(str(mat_path)))
+    ds = QM7bDataset()
+    ds.read_in_memory()
+    assert len(ds) == n_mol
+    for i, g in enumerate(ds):
+        assert len(g["node_number"]) == sizes[i]
+        assert g["graph_labels"].shape == (14,)
+        np.testing.assert_allclose(g["graph_labels"], T[i], rtol=1e-5)
+    # single-property selection by published name
+    ds2 = QM7bDataset()
+    ds2.read_in_memory(label_column_name="homo_gw")
+    col = QM7B_LABEL_NAMES.index("homo_gw")
+    assert ds2[0]["graph_labels"] == pytest.approx([T[0, col]], rel=1e-5)
+
+
+def test_qm8_tar(dataset_cache, monkeypatch):
+    """QM8: deepchem gdb8.tar.gz holding qm8.sdf + qm8.sdf.csv with the
+    twelve published spectra columns (E1-CC2...f2-CAM)."""
+    import tarfile
+    from gcnn_keras_tpu.data.datasets.qm import QM8Dataset, QM8_LABEL_NAMES
+    src = dataset_cache / "srv"
+    src.mkdir()
+    rs = np.random.RandomState(8)
+    mols = [("gdb8_1", [6, 1, 1, 1, 1]), ("gdb8_2", [8, 1, 1])]
+    sdf, csv_rows = "", ["Molecule," + ",".join(QM8_LABEL_NAMES)]
+    values = []
+    for title, zs in mols:
+        sdf += _sdf_record(title, zs, rs.randn(len(zs), 3).round(4))
+        vals = rs.rand(12).round(6)
+        values.append(vals)
+        csv_rows.append(title + "," + ",".join(str(v) for v in vals))
+    stage = src / "stage"
+    stage.mkdir()
+    (stage / "qm8.sdf").write_text(sdf)
+    (stage / "qm8.sdf.csv").write_text("\n".join(csv_rows) + "\n")
+    tar_path = src / "gdb8.tar.gz"
+    with tarfile.open(str(tar_path), "w:gz") as tar:
+        tar.add(str(stage / "qm8.sdf"), arcname="qm8.sdf")
+        tar.add(str(stage / "qm8.sdf.csv"), arcname="qm8.sdf.csv")
+    monkeypatch.setattr(QM8Dataset, "_url",
+                        "file://" + os.path.abspath(str(tar_path)))
+    ds = QM8Dataset()
+    ds.read_in_memory()
+    assert len(ds) == len(mols)
+    for g, (_, zs), vals in zip(ds, mols, values):
+        assert g["node_number"].tolist() == zs
+        assert g["graph_labels"].shape == (12,)
+        np.testing.assert_allclose(g["graph_labels"], vals, rtol=1e-5)
+    ds2 = QM8Dataset()
+    ds2.read_in_memory(label_column_name="E1-CC2")
+    assert ds2[0]["graph_labels"] == pytest.approx([values[0][0]], rel=1e-5)
+
+
+def test_cora_npz(dataset_cache, monkeypatch):
+    """Cora: the graph2gauss cora.npz layout (scipy CSR triplets
+    adj_data/indices/indptr/shape + attr_* + labels)."""
+    sp = pytest.importorskip("scipy.sparse")
+    from gcnn_keras_tpu.data.datasets.citation import CoraDataset
+    src = dataset_cache / "srv"
+    src.mkdir()
+    rs = np.random.RandomState(9)
+    n, f = 8, 5
+    adj_dense = (rs.rand(n, n) < 0.3).astype(np.float32)
+    np.fill_diagonal(adj_dense, 0)
+    adj = sp.csr_matrix(adj_dense)
+    attr = sp.csr_matrix(rs.rand(n, f).astype(np.float32))
+    labels = rs.randint(0, 3, size=n).astype(np.int64)
+    npz = src / "cora.npz"
+    np.savez(str(npz), adj_data=adj.data, adj_indices=adj.indices,
+             adj_indptr=adj.indptr, adj_shape=np.array(adj.shape),
+             attr_data=attr.data, attr_indices=attr.indices,
+             attr_indptr=attr.indptr, attr_shape=np.array(attr.shape),
+             labels=labels)
+    monkeypatch.setattr(CoraDataset, "_url",
+                        "file://" + os.path.abspath(str(npz)))
+    ds = CoraDataset()
+    ds.read_in_memory()
+    assert len(ds) == 1
+    g = ds[0]
+    assert g["node_attributes"].shape == (n, f)
+    np.testing.assert_array_equal(g["node_labels"], labels)
+    # undirected + symmetric normalization happened
+    ei = g["edge_indices"]
+    pairs = {tuple(e) for e in ei.tolist()}
+    assert all((b, a) in pairs for a, b in pairs)
+    assert "edge_weights" in g
+
+
+def test_clintox_csv_gz(dataset_cache, monkeypatch):
+    """ClinTox: the deepchem csv.gz flow (fetch + gunzip through
+    DownloadDataset's extract_gz); the published header carries smiles +
+    FDA_APPROVED + CT_TOX columns."""
+    import gzip
+    from gcnn_keras_tpu.data.datasets.moleculenet import ClinToxDataset
+    src = dataset_cache / "srv"
+    src.mkdir()
+    rows = ["smiles,FDA_APPROVED,CT_TOX",
+            "CCO,1,0", "c1ccccc1,1,0", "CC(=O)O,0,1"]
+    gz_path = src / "clintox.csv.gz"
+    with gzip.open(str(gz_path), "wt") as fh:
+        fh.write("\n".join(rows) + "\n")
+    monkeypatch.setattr(ClinToxDataset, "_url",
+                        "file://" + os.path.abspath(str(gz_path)))
+    ds = ClinToxDataset()
+    # the gunzipped CSV landed in the cache dir with the published header
+    assert os.path.exists(ds.file_path)
+    import pandas as pd
+    df = pd.read_csv(ds.file_path)
+    assert list(df.columns) == ["smiles", "FDA_APPROVED", "CT_TOX"]
+    assert len(df) == 3
+    try:
+        import rdkit  # noqa: F401
+    except ImportError:
+        pytest.skip("rdkit unavailable — csv.gz fetch+extract covered above")
+    ds.read_in_memory()
+    assert len(ds) == 3
