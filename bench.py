@@ -411,9 +411,38 @@ def sec_hbm_traffic(jax, schnet_ctx):
         bytes_per_step / dt_s / 1e9 / HBM_PEAK_GBPS, 3)
 
 
+def bench_painn_model():
+    """PAiNN bench config (mirrors force_painn.py: depth 3, 128 units,
+    20 radial Bessel, 5.0 cutoff). Shared with
+    tools/sweep_family_batches.py so the sweep measures THIS model."""
+    from gcnn_keras_tpu.models.painn import make_model
+    return make_model(
+        depth=3, conv_args={"units": 128, "cutoff": 5.0},
+        update_args={"units": 128},
+        input_embedding={"node": {"output_dim": 128}},
+        bessel_basis={"num_radial": 20, "cutoff": 5.0},
+        output_mlp={"units": [128, 1], "activation": ["swish", "linear"]})
+
+
+def bench_hdnnp4th_model():
+    """Flagship HDNNP4th bench config (mirrors force_hdnnp4th.py tables).
+    Shared with tools/sweep_family_batches.py."""
+    from gcnn_keras_tpu.models.hdnnp4th import make_model_behler
+    elements = [1, 6, 7, 8, 9]
+    return make_model_behler(
+        g2_kwargs={"eta": [0.0, 0.3], "rs": [0.0, 3.0], "rc": 4.0,
+                   "elements": elements},
+        g4_kwargs={"eta": [0.0, 0.3], "lamda": [-1.0, 1.0], "rc": 4.0,
+                   "zeta": [1.0, 8.0], "elements": elements,
+                   "multiplicity": 2.0},
+        mlp_charge_kwargs={"units": [64, 64, 1], "num_relations": 10,
+                           "activation": ["swish", "swish", "linear"]},
+        mlp_local_kwargs={"units": [64, 64, 1], "num_relations": 10,
+                          "activation": ["swish", "swish", "linear"]})
+
+
 def _hdnnp_setup(jax, jnp, optax):
     from gcnn_keras_tpu.batch import batch_graphs
-    from gcnn_keras_tpu.models.hdnnp4th import make_model_behler
     from gcnn_keras_tpu.model.force import EnergyForceModel
     from gcnn_keras_tpu.training.losses import masked_graph_mae, masked_node_mae
 
@@ -424,18 +453,7 @@ def _hdnnp_setup(jax, jnp, optax):
     n_angles = int(np.asarray(batch.angle_mask).sum()) \
         if batch.angle_mask is not None else 0
 
-    elements = [1, 6, 7, 8, 9]
-    model = make_model_behler(
-        g2_kwargs={"eta": [0.0, 0.3], "rs": [0.0, 3.0], "rc": 4.0,
-                   "elements": elements},
-        g4_kwargs={"eta": [0.0, 0.3], "lamda": [-1.0, 1.0], "rc": 4.0,
-                   "zeta": [1.0, 8.0], "elements": elements,
-                   "multiplicity": 2.0},
-        mlp_charge_kwargs={"units": [64, 64, 1], "num_relations": 10,
-                           "activation": ["swish", "swish", "linear"]},
-        mlp_local_kwargs={"units": [64, 64, 1], "num_relations": 10,
-                          "activation": ["swish", "swish", "linear"]})
-    fmodel = EnergyForceModel(model, use_esp_coupling=True)
+    fmodel = EnergyForceModel(bench_hdnnp4th_model(), use_esp_coupling=True)
     params = jax.jit(lambda k, b: fmodel.init(k, b, train=False))(
         jax.random.PRNGKey(0), batch)
 
@@ -631,19 +649,14 @@ def sec_painn(jax, jnp, optax):
     SchNet's per-LANE throughput — its (E, 3U) filter + (E, 3, U)
     equivariant chains move ~3.4x the lanes per edge."""
     from gcnn_keras_tpu.batch import batch_graphs
-    from gcnn_keras_tpu.models.painn import make_model
     from gcnn_keras_tpu.model.force import EnergyForceModel
 
     rs = np.random.RandomState(4)
     batch = batch_graphs(_mols(rs, 256), global_keys=("energy",))
     n_edges = int(np.asarray(batch.edge_mask).sum())
-    model = make_model(
-        depth=3, conv_args={"units": 128, "cutoff": 5.0},
-        update_args={"units": 128},
-        input_embedding={"node": {"output_dim": 128}},
-        bessel_basis={"num_radial": 20, "cutoff": 5.0},
-        output_mlp={"units": [128, 1], "activation": ["swish", "linear"]})
-    step_fn, args = _ef_train_step(jax, optax, EnergyForceModel(model), batch)
+    step_fn, args = _ef_train_step(jax, optax,
+                                   EnergyForceModel(bench_painn_model()),
+                                   batch)
     RECORD["painn"] = _family_record(jax, step_fn, args, n_edges)
 
 
@@ -676,13 +689,13 @@ def sec_hdnnp2nd(jax, jnp, optax):
     RECORD["hdnnp2nd"] = rec
 
 
-def sec_hdnnp_large_mol(jax, jnp, optax):
-    """VERDICT r2 item 4: the flagship force train step on a >=512-atom
-    molecule, where solver='auto' actually selects the iterative CG Qeq
-    (gradients vs the dense path are pinned by
-    tests/test_qeq_solver.py::test_iterative_qeq_inside_full_force_train_step).
-    The reference wall being removed: kgcnn/layers/conv/hdnnp_conv.py:250
-    (dense O(M^3) LU per molecule)."""
+def _large_mol_record(jax, optax, n):
+    """Flagship force train step on one giant locality-sorted molecule
+    (VERDICT r2 item 4 / the BASELINE north star). The reference wall
+    being removed: kgcnn/layers/conv/hdnnp_conv.py:250 (dense O(M^3) LU
+    per molecule); here solver='auto' picks dense LU vs row-sharded CG by
+    measured crossover (tools/qeq_crossover.py), gradients pinned by
+    tests/test_qeq_solver.py::test_iterative_qeq_inside_full_force_train_step."""
     from gcnn_keras_tpu.batch import batch_graphs
     from gcnn_keras_tpu.graph.preprocess import set_range, set_angle
     from gcnn_keras_tpu.models.hdnnp4th import make_model_behler
@@ -690,7 +703,6 @@ def sec_hdnnp_large_mol(jax, jnp, optax):
     from gcnn_keras_tpu.training.losses import masked_graph_mae, masked_node_mae
 
     rs = np.random.RandomState(3)
-    n = 520
     t = np.arange(n) * 1.3
     pos = np.stack([t, 2.0 * np.sin(t * 0.05), 2.0 * np.cos(t * 0.03)],
                    axis=1).astype(np.float32)
@@ -745,14 +757,25 @@ def sec_hdnnp_large_mol(jax, jnp, optax):
         return params, opt_state, loss
 
     dt, _ = _timeit(step, (params, opt_state, batch), iters=10)
-    # r5: solver="auto" now picks the DENSE LU here (tools/qeq_crossover.py
-    # measured dense 2.4-3.3x faster than CG through 2080 atoms with
-    # identical losses; threshold moved 512 -> 4096) and the 6.2k angles
-    # clear the lowered fused-G4 gate — combined 7.47 -> ~3.0 ms.
-    RECORD["hdnnp4th_large_mol"] = {
+    # r5: solver="auto" picks the DENSE LU through 4096 atoms
+    # (tools/qeq_crossover.py measured dense 2.4-3.3x faster than CG at
+    # 520/1040/2080 with identical losses) and >=4096 angles clear the
+    # fused-G4 gate — 520 atoms: 7.47 -> ~3.0 ms.
+    return {
         "atoms": n, "edges_per_sec": round(n_edges / dt, 1),
         "angles_per_sec": round(n_angles / dt, 1),
         "ms_per_step": round(dt * 1e3, 3), "qeq": "dense_auto"}
+
+
+def sec_hdnnp_large_mol(jax, jnp, optax):
+    RECORD["hdnnp4th_large_mol"] = _large_mol_record(jax, optax, n=520)
+
+
+def sec_hdnnp_giant_mol(jax, jnp, optax):
+    """4x the large-mol record: one 2080-atom molecule (the scale the
+    qeq-crossover sweep topped out at). Registered LAST so a budget-cut
+    run drops this section first."""
+    RECORD["hdnnp4th_giant_mol"] = _large_mol_record(jax, optax, n=2080)
 
 
 def _md_system(rs, n, t, seed_offset=0):
@@ -873,6 +896,7 @@ def main():
     if md_ctx is not None:
         _section("md_ensemble", 110, sec_md_ensemble, jax, md_ctx)
     _section("hdnnp_large_mol", 130, sec_hdnnp_large_mol, jax, jnp, optax)
+    _section("hdnnp_giant_mol", 150, sec_hdnnp_giant_mol, jax, jnp, optax)
 
     RECORD["status"] = "complete" if all(
         str(v).startswith("ok") for v in RECORD["sections"].values()) \

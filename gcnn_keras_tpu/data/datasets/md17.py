@@ -121,6 +121,7 @@ class ISO17Dataset(MemoryGraphDataset):
         if not os.path.exists(first):
             raise FileNotFoundError(
                 f"{first} missing — offline? Use SyntheticMDDataset.")
+        n_reference = 0
         for db_name, train, test in self._DB_SPLITS:
             count = 0
             for row in read_ase_sqlite(os.path.join(base, db_name)):
@@ -128,6 +129,11 @@ class ISO17Dataset(MemoryGraphDataset):
                     break
                 energy = row["key_value_pairs"].get("total_energy",
                                                     row["energy"])
+                if energy is None:
+                    raise ValueError(
+                        f"{db_name} row id={row['id']} carries neither a "
+                        "'total_energy' key_value_pair nor a calculator "
+                        "energy column — not an ISO17-style energy db")
                 forces = row["data"].get("atomic_forces", row["forces"])
                 g = {
                     "node_number": row["numbers"],
@@ -142,6 +148,8 @@ class ISO17Dataset(MemoryGraphDataset):
                     g["test"] = np.array(test)
                 self.append(g)
                 count += 1
+            if db_name == "reference.db":
+                n_reference = count
         valid_file = os.path.join(base, "validation_ids.txt")
         if os.path.exists(valid_file):
             with open(valid_file) as f:
@@ -149,7 +157,11 @@ class ISO17Dataset(MemoryGraphDataset):
                     line = line.strip()
                     if not line:
                         continue
+                    # 1-based into reference.db, which fills indices
+                    # [0, n_reference) — ids beyond what was actually read
+                    # (e.g. under max_frames_per_db) must NOT spill into
+                    # the next db's rows.
                     i = int(line) - 1
-                    if 0 <= i < len(self):
+                    if 0 <= i < n_reference:
                         self[i]["valid"] = np.array(0)
         return self

@@ -68,8 +68,12 @@ class DownloadDataset:
             return
         with tarfile.open(path) as tar:
             # 'data' filter = safe extraction (no abs paths/links outside
-            # the target); also the 3.14 default.
-            tar.extractall(out, filter="data")
+            # the target); also the 3.14 default. The kwarg only exists
+            # from 3.10.12/3.11.4/3.12 — fall back on older patch levels.
+            try:
+                tar.extractall(out, filter="data")
+            except TypeError:
+                tar.extractall(out)
 
     def _unzip(self, path: str, out_name: Optional[str], reload: bool):
         out = os.path.join(self.data_directory, out_name) if out_name \

@@ -27,15 +27,17 @@ def test_parity_matrix_paths_exist():
     missing = []
     for tok in set(_cited_paths()):
         if "/" not in tok:
-            if os.path.basename(tok) not in basenames and tok != "setup.py":
+            # bare test modules must live in tests/; other bare names may
+            # be cited next to their full path or refer to the reference
+            # (setup.py)
+            if tok.startswith("test_"):
+                if not os.path.exists(os.path.join(REPO, "tests", tok)):
+                    missing.append(tok)
+            elif tok not in basenames and tok != "setup.py":
                 missing.append(tok)
             continue
-        if tok.startswith("tests/") or tok.startswith("test_"):
-            path = os.path.join(REPO, "tests", os.path.basename(tok))
-        elif os.path.exists(os.path.join(REPO, tok)):
-            continue
-        else:
-            path = os.path.join(REPO, "gcnn_keras_tpu", tok)
-        if not os.path.exists(path):
+        # slashed paths resolve EXACTLY, repo-relative or package-relative
+        if not (os.path.exists(os.path.join(REPO, tok))
+                or os.path.exists(os.path.join(REPO, "gcnn_keras_tpu", tok))):
             missing.append(tok)
     assert not missing, f"PARITY.md cites nonexistent paths: {sorted(missing)}"

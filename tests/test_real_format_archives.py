@@ -586,3 +586,42 @@ def test_clintox_csv_gz(dataset_cache, monkeypatch):
         pytest.skip("rdkit unavailable — csv.gz fetch+extract covered above")
     ds.read_in_memory()
     assert len(ds) == 3
+
+
+def test_iso17_truncation_and_missing_energy_guards(dataset_cache, monkeypatch):
+    """Review fixes: (1) validation ids must not spill past the
+    reference.db rows actually read under max_frames_per_db; (2) a db row
+    with neither total_energy kvp nor an energy column raises a clear
+    error, not an opaque numpy TypeError."""
+    from gcnn_keras_tpu.data.datasets.md17 import ISO17Dataset
+    src = dataset_cache / "srv"
+    src.mkdir()
+    tar_path, all_rows, counts = _make_iso17_tar(str(src))
+    monkeypatch.setattr(ISO17Dataset, "_url",
+                        "file://" + os.path.abspath(tar_path))
+    # truncate reference.db to 2 rows; validation id 4 (1-based) now points
+    # past what was read and must NOT mark a reference_eq.db row
+    ds = ISO17Dataset()
+    ds.read_in_memory(max_frames_per_db=2)
+    assert len(ds) == 5 * 2 - 1  # test_eq.db only has 1 row
+    assert ds[1]["valid"] == 0          # id 2 still lands
+    assert all("valid" not in g for g in list(ds)[2:])  # id 4 dropped
+
+    # a db whose rows carry no energy at all errors clearly
+    import sqlite3
+    bad_dir = dataset_cache / "bad"
+    bad_dir.mkdir()
+    bad = str(bad_dir / "reference.db")
+    rows = [dict(numbers=[1, 1], positions=np.zeros((2, 3)),
+                 energy=0.0, forces=np.zeros((2, 3)))]
+    _write_ase_sqlite(bad, rows)
+    conn = sqlite3.connect(bad)
+    conn.execute("UPDATE systems SET key_value_pairs='{}', energy=NULL")
+    conn.commit()
+    conn.close()
+    ds2 = ISO17Dataset.__new__(ISO17Dataset)
+    from gcnn_keras_tpu.data.dataset import MemoryGraphDataset
+    MemoryGraphDataset.__init__(ds2, data_directory=str(bad_dir),
+                                dataset_name="ISO17")
+    with pytest.raises((ValueError, FileNotFoundError), match="total_energy"):
+        ds2.read_in_memory()

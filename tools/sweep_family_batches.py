@@ -22,7 +22,8 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import optax
 
-    from bench import _mols, _ef_train_step, _family_record
+    from bench import (_mols, _ef_train_step, _family_record,
+                       bench_painn_model, bench_hdnnp4th_model)
     from gcnn_keras_tpu.batch import batch_graphs
     from gcnn_keras_tpu.model.force import EnergyForceModel
 
@@ -37,37 +38,16 @@ def main():
                              else ("energy", "total_charge"))
         n_edges = int(np.asarray(batch.edge_mask).sum())
 
+        # model configs come from bench.py's shared builders so the
+        # sweep measures exactly the bench sections' models
         if family == "painn":
-            from gcnn_keras_tpu.models.painn import make_model
-            model = make_model(
-                depth=3, conv_args={"units": 128, "cutoff": 5.0},
-                update_args={"units": 128},
-                input_embedding={"node": {"output_dim": 128}},
-                bessel_basis={"num_radial": 20, "cutoff": 5.0},
-                output_mlp={"units": [128, 1],
-                            "activation": ["swish", "linear"]})
-            fmodel = EnergyForceModel(model)
+            fmodel = EnergyForceModel(bench_painn_model())
         elif family == "schnet":
             from gcnn_keras_tpu.models.schnet import make_model
             fmodel = EnergyForceModel(make_model())
         elif family == "hdnnp4th":
-            from gcnn_keras_tpu.models.hdnnp4th import make_model_behler
-            elements = [1, 6, 7, 8, 9]
-            model = make_model_behler(
-                g2_kwargs={"eta": [0.0, 0.3], "rs": [0.0, 3.0], "rc": 4.0,
-                           "elements": elements},
-                g4_kwargs={"eta": [0.0, 0.3], "lamda": [-1.0, 1.0],
-                           "rc": 4.0, "zeta": [1.0, 8.0],
-                           "elements": elements, "multiplicity": 2.0},
-                mlp_charge_kwargs={"units": [64, 64, 1],
-                                   "num_relations": 10,
-                                   "activation": ["swish", "swish",
-                                                  "linear"]},
-                mlp_local_kwargs={"units": [64, 64, 1],
-                                  "num_relations": 10,
-                                  "activation": ["swish", "swish",
-                                                 "linear"]})
-            fmodel = EnergyForceModel(model, use_esp_coupling=True)
+            fmodel = EnergyForceModel(bench_hdnnp4th_model(),
+                                      use_esp_coupling=True)
         else:
             raise SystemExit(f"unknown family {family}")
 
