@@ -424,6 +424,22 @@ def bench_painn_model():
         output_mlp={"units": [128, 1], "activation": ["swish", "linear"]})
 
 
+def bench_hdnnp2nd_model():
+    """HDNNP2nd bench config (mirrors force_hdnnp2nd.py: shared G2+G4
+    tables + relational MLP, no charge head). Shared with
+    tools/sweep_family_batches.py."""
+    from gcnn_keras_tpu.models.hdnnp2nd import make_model_behler
+    elements = [1, 6, 7, 8, 9]
+    return make_model_behler(
+        g2_kwargs={"eta": [0.0, 0.3], "rs": [0.0, 3.0], "rc": 4.0,
+                   "elements": elements},
+        g4_kwargs={"eta": [0.0, 0.3], "lamda": [-1.0, 1.0], "rc": 4.0,
+                   "zeta": [1.0, 8.0], "elements": elements,
+                   "multiplicity": 2.0},
+        mlp_kwargs={"units": [64, 64, 1], "num_relations": 10,
+                    "activation": ["swish", "swish", "linear"]})
+
+
 def bench_hdnnp4th_model():
     """Flagship HDNNP4th bench config (mirrors force_hdnnp4th.py tables).
     Shared with tools/sweep_family_batches.py."""
@@ -663,26 +679,23 @@ def sec_painn(jax, jnp, optax):
 def sec_hdnnp2nd(jax, jnp, optax):
     """HDNNP2nd E+F train step (BASELINE target family 4; config mirrors
     force_hdnnp2nd.py: shared G2+G4 tables + relational MLP, no charge
-    head) — same 128-mol angular batch as the flagship section."""
+    head).
+
+    1024 molecules = the measured saturation knee (r5 sweep, scan
+    edges/s: 128 -> 3.79M, 256 -> 4.33M, 512 -> 5.04M, 1024 -> 5.46M,
+    2048 -> 5.68M; the next doubling past 1024 gains <5%). The r5
+    official record was briefly 128 mols (3.65M) before the sweep."""
     from gcnn_keras_tpu.batch import batch_graphs
-    from gcnn_keras_tpu.models.hdnnp2nd import make_model_behler
     from gcnn_keras_tpu.model.force import EnergyForceModel
 
     rs = np.random.RandomState(5)
-    graphs = _mols(rs, 128, with_esp=True)  # with_esp builds the angles
+    graphs = _mols(rs, 1024, with_esp=True)  # with_esp builds the angles
     batch = batch_graphs(graphs, global_keys=("energy",))
     n_edges = int(np.asarray(batch.edge_mask).sum())
     n_angles = int(np.asarray(batch.angle_mask).sum())
-    elements = [1, 6, 7, 8, 9]
-    model = make_model_behler(
-        g2_kwargs={"eta": [0.0, 0.3], "rs": [0.0, 3.0], "rc": 4.0,
-                   "elements": elements},
-        g4_kwargs={"eta": [0.0, 0.3], "lamda": [-1.0, 1.0], "rc": 4.0,
-                   "zeta": [1.0, 8.0], "elements": elements,
-                   "multiplicity": 2.0},
-        mlp_kwargs={"units": [64, 64, 1], "num_relations": 10,
-                    "activation": ["swish", "swish", "linear"]})
-    step_fn, args = _ef_train_step(jax, optax, EnergyForceModel(model), batch)
+    step_fn, args = _ef_train_step(jax, optax,
+                                   EnergyForceModel(bench_hdnnp2nd_model()),
+                                   batch)
     rec = _family_record(jax, step_fn, args, n_edges)
     dt_scan = rec["ms_per_step_scan"] / 1e3
     rec["angles_per_sec_scan"] = round(n_angles / dt_scan, 1)
@@ -749,22 +762,22 @@ def _large_mol_record(jax, optax, n):
     optimizer = optax.adam(1e-3)
     opt_state = optimizer.init(params)
 
-    @jax.jit
-    def step(params, opt_state, b):
+    def step_fn(params, opt_state, b):
         (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, b)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    dt, _ = _timeit(step, (params, opt_state, batch), iters=10)
     # r5: solver="auto" picks the DENSE LU through 4096 atoms
     # (tools/qeq_crossover.py measured dense 2.4-3.3x faster than CG at
     # 520/1040/2080 with identical losses) and >=4096 angles clear the
-    # fused-G4 gate — 520 atoms: 7.47 -> ~3.0 ms.
-    return {
-        "atoms": n, "edges_per_sec": round(n_edges / dt, 1),
-        "angles_per_sec": round(n_angles / dt, 1),
-        "ms_per_step": round(dt * 1e3, 3), "qeq": "dense_auto"}
+    # fused-G4 gate — 520 atoms: 7.47 -> ~3.0 ms. Scan numbers are the
+    # stable ground truth; the dispatch-loop ms fluctuates with host load.
+    rec = _family_record(jax, step_fn, (params, opt_state, batch), n_edges)
+    dt_scan = rec["ms_per_step_scan"] / 1e3
+    rec.update(atoms=n, qeq="dense_auto",
+               angles_per_sec_scan=round(n_angles / dt_scan, 1))
+    return rec
 
 
 def sec_hdnnp_large_mol(jax, jnp, optax):
@@ -832,18 +845,21 @@ def sec_md_single(jax, jnp):
     pos0 = batch.nodes["node_coordinates"]
     vel0 = jnp.zeros_like(pos0)
 
-    def wall(k, reps=3):
+    def wall_once(k):
+        t0 = time.perf_counter()
         out = run(pos0, vel0, k)
         jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = run(pos0, vel0, k)
-        jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / reps
+        return time.perf_counter() - t0
 
-    t1, t2 = wall(50), wall(400)
+    # warm both scan lengths, then time INTERLEAVED (t1, t2) pairs and
+    # take the minimum slope: robust to host-load spikes AND drift
+    # through the tunnel (mean-of-3 swung 18-28 us/step between runs;
+    # independent min-of-reps decorrelated the pair and was worse).
+    jax.block_until_ready(run(pos0, vel0, 50))
+    jax.block_until_ready(run(pos0, vel0, 400))
+    slope = min((wall_once(400) - wall_once(50)) / 350 for _ in range(4))
     RECORD["md_schnet_21atom"] = {
-        "atoms": n, "us_per_md_step": round((t2 - t1) / 350 * 1e6, 1)}
+        "atoms": n, "us_per_md_step": round(slope * 1e6, 1)}
     return model, params, n, t
 
 

@@ -1,7 +1,7 @@
 """Batch-size saturation sweep for any bench family (the r5 instrument
 behind the PAiNN 128->256 and flagship 128/256 records).
 
-Usage: python tools/sweep_family_batches.py [schnet|painn|hdnnp4th] [sizes...]
+Usage: python tools/sweep_family_batches.py [schnet|painn|hdnnp4th|hdnnp2nd] [sizes...]
 Prints one JSON line per size (scan ground truth). Note the shared
 E+F loss (no charge term), so hdnnp4th numbers here are sweep-relative,
 not the bench flagship record (which trains 50q+1E+200F).
@@ -23,7 +23,8 @@ def main():
     import optax
 
     from bench import (_mols, _ef_train_step, _family_record,
-                       bench_painn_model, bench_hdnnp4th_model)
+                       bench_painn_model, bench_hdnnp4th_model,
+                       bench_hdnnp2nd_model)
     from gcnn_keras_tpu.batch import batch_graphs
     from gcnn_keras_tpu.model.force import EnergyForceModel
 
@@ -32,10 +33,10 @@ def main():
 
     for n_mols in sizes:
         rs = np.random.RandomState(4)
-        with_esp = family == "hdnnp4th"
+        with_esp = family in ("hdnnp4th", "hdnnp2nd")  # builds angles
         batch = batch_graphs(_mols(rs, n_mols, with_esp=with_esp),
-                             global_keys=("energy",) if not with_esp
-                             else ("energy", "total_charge"))
+                             global_keys=("energy", "total_charge")
+                             if family == "hdnnp4th" else ("energy",))
         n_edges = int(np.asarray(batch.edge_mask).sum())
 
         # model configs come from bench.py's shared builders so the
@@ -48,6 +49,8 @@ def main():
         elif family == "hdnnp4th":
             fmodel = EnergyForceModel(bench_hdnnp4th_model(),
                                       use_esp_coupling=True)
+        elif family == "hdnnp2nd":
+            fmodel = EnergyForceModel(bench_hdnnp2nd_model())
         else:
             raise SystemExit(f"unknown family {family}")
 
