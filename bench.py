@@ -440,9 +440,10 @@ def bench_hdnnp2nd_model():
                     "activation": ["swish", "swish", "linear"]})
 
 
-def bench_hdnnp4th_model():
+def bench_hdnnp4th_model(**electro_overrides):
     """Flagship HDNNP4th bench config (mirrors force_hdnnp4th.py tables).
-    Shared with tools/sweep_family_batches.py."""
+    Shared with tools/sweep_family_batches.py and the Qeq A/B tool
+    (electro_overrides, e.g. dense_impl="cholesky")."""
     from gcnn_keras_tpu.models.hdnnp4th import make_model_behler
     elements = [1, 6, 7, 8, 9]
     return make_model_behler(
@@ -454,7 +455,8 @@ def bench_hdnnp4th_model():
         mlp_charge_kwargs={"units": [64, 64, 1], "num_relations": 10,
                            "activation": ["swish", "swish", "linear"]},
         mlp_local_kwargs={"units": [64, 64, 1], "num_relations": 10,
-                          "activation": ["swish", "swish", "linear"]})
+                          "activation": ["swish", "swish", "linear"]},
+        electrostatic_kwargs={"param_trainable": False, **electro_overrides})
 
 
 def _hdnnp_setup(jax, jnp, optax):
@@ -775,7 +777,7 @@ def _large_mol_record(jax, optax, n):
     # stable ground truth; the dispatch-loop ms fluctuates with host load.
     rec = _family_record(jax, step_fn, (params, opt_state, batch), n_edges)
     dt_scan = rec["ms_per_step_scan"] / 1e3
-    rec.update(atoms=n, qeq="dense_auto",
+    rec.update(atoms=n, qeq="dense_cholesky_auto",
                angles_per_sec_scan=round(n_angles / dt_scan, 1))
     return rec
 

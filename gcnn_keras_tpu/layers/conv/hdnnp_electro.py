@@ -93,6 +93,13 @@ class CENTCharge(nn.Module):
     # molecules never materialize M^2; qeq_solver.py), "auto" = iterative
     # from ``iterative_threshold`` atoms up.
     solver: str = "auto"
+    # dense-path implementation: "cholesky" (default) = SPD Cholesky +
+    # Schur-eliminated constraint — identical solution (A/B losses equal
+    # to f32 tolerance), no pivoting, measured 1.12x/1.29x/1.07x on the
+    # full flagship/520-atom/2080-atom train steps (tools/
+    # ab_qeq_cholesky.py, PERF.md r5); "lu" = the bordered (M+1) LU
+    # (reference-exact formulation, kept for debugging).
+    dense_impl: str = "cholesky"
     # Measured on the v5e (tools/qeq_crossover.py, r5): the batched dense
     # LU beats the sequential latency-bound CG chain 2.4x / 2.8x / 3.3x at
     # 520 / 1040 / 2080 atoms with identical losses — the crossover has
@@ -182,6 +189,15 @@ class CENTCharge(nn.Module):
         a = a.at[:, M, M].set(corner)
 
         rhs = jnp.concatenate([chi_pad * mask, qtot[:, None]], axis=1)  # (G, M+1)
+        if self.dense_impl == "cholesky":
+            # SPD A + Schur-eliminated constraint: no pivoting, half the
+            # factorization FLOPs (measured A/B vs the bordered LU in
+            # tools/ab_qeq_cholesky.py; PERF.md r5)
+            from .qeq_solver import solve_qeq_dense_cholesky
+            q_core = solve_qeq_dense_cholesky(a_core, mask,
+                                              chi_pad * mask, qtot, corner)
+            q = padded_to_flat(q_core, batch)
+            return q * batch.node_mask.astype(q.dtype)
         q_pad = jnp.linalg.solve(a, rhs[..., None])[..., 0]             # (G, M+1)
         q = padded_to_flat(q_pad[:, :M], batch)
         return q * batch.node_mask.astype(q.dtype)
@@ -268,6 +284,7 @@ class CENTChargePlusElectrostaticEnergy(nn.Module):
     param_trainable: bool = False
     use_physical_params: bool = True
     solver: str = "auto"
+    dense_impl: str = "cholesky"
     cg_tol: float = 1e-6
 
     @nn.compact
@@ -275,7 +292,8 @@ class CENTChargePlusElectrostaticEnergy(nn.Module):
                  positions: Optional[Array] = None) -> Tuple[Array, Array]:
         q = CENTCharge(param_trainable=self.param_trainable,
                        use_physical_params=self.use_physical_params,
-                       solver=self.solver, cg_tol=self.cg_tol,
+                       solver=self.solver, dense_impl=self.dense_impl,
+                       cg_tol=self.cg_tol,
                        name="cent_charge")(batch, chi, positions)
         e = ElectrostaticEnergyGaussCharge(
             multiplicity=self.multiplicity,

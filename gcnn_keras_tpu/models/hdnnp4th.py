@@ -54,7 +54,7 @@ model_default_behler = dict(
 _ELECTRO_IGNORED = {"name", "param_initializer", "param_regularizer",
                     "param_constraint", "output_to_tensor", "add_eps"}
 _ELECTRO_KNOWN = {"param_trainable", "use_physical_params", "multiplicity",
-                  "solver", "cg_tol"} | _ELECTRO_IGNORED
+                  "solver", "dense_impl", "cg_tol"} | _ELECTRO_IGNORED
 
 
 def _electro_opts(cfg: Dict[str, Any]) -> Dict[str, Any]:
@@ -69,7 +69,8 @@ def _electro_opts(cfg: Dict[str, Any]) -> Dict[str, Any]:
             f"Unknown electrostatic/cent kwargs: {sorted(unknown)}; "
             f"supported: {sorted(_ELECTRO_KNOWN - _ELECTRO_IGNORED)}")
     return {k: merged[k] for k in ("param_trainable", "use_physical_params",
-                                   "multiplicity", "solver", "cg_tol")
+                                   "multiplicity", "solver", "dense_impl",
+                                   "cg_tol")
             if k in merged}
 
 

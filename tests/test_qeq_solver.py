@@ -227,3 +227,60 @@ def test_iterative_qeq_inside_full_force_train_step():
         a, b = np.asarray(a), np.asarray(b)
         scale = max(float(np.max(np.abs(a))), 1e-6)
         assert np.max(np.abs(a - b)) / scale < 5e-4, (path, scale)
+
+
+def test_dense_cholesky_matches_lu_all_orders():
+    """r5: the default dense path (SPD Cholesky + Schur-eliminated
+    constraint) must equal the bordered-LU formulation — charges, first
+    grads (positions + chi) and grad-of-grad — incl. nonzero total
+    charges and an EMPTY graph slot in the batch."""
+    from gcnn_keras_tpu.batch import batch_graphs
+    from gcnn_keras_tpu.graph.preprocess import set_range
+
+    rs = np.random.RandomState(0)
+    graphs = []
+    for i in range(5):
+        n = rs.randint(3, 9)
+        g = {"node_number": rs.choice([1, 6, 8], size=n),
+             "node_coordinates": (rs.randn(n, 3) * 2).astype(np.float32),
+             "total_charge": np.array([float(i % 2)], dtype=np.float32)}
+        g = set_range(g, max_distance=6.0, max_neighbours=12)
+        g["edge_indices"] = g.pop("range_indices")
+        graphs.append(g)
+    # pad an extra EMPTY graph slot (n_graphs > len(graphs))
+    batch = batch_graphs(graphs, global_keys=("total_charge",),
+                         n_graph_pad=len(graphs) + 2)
+    chi = jnp.asarray(rs.randn(batch.n_node).astype(np.float32))
+    pos0 = batch.nodes["node_coordinates"]
+
+    def f(pos, chi, impl):
+        layer = CENTCharge(solver="dense", dense_impl=impl,
+                           param_trainable=False)
+        params = layer.init(jax.random.PRNGKey(0), batch, chi)
+        q = layer.apply(params, batch, chi, positions=pos)
+        return jnp.sum(jnp.sin(q) * batch.node_mask), q
+
+    (_, q_lu), (_, q_ch) = f(pos0, chi, "lu"), f(pos0, chi, "cholesky")
+    np.testing.assert_allclose(np.asarray(q_ch), np.asarray(q_lu),
+                               atol=5e-6)
+    # per-molecule charge conservation on the cholesky path
+    tot = jnp.zeros(batch.n_graphs).at[batch.graph_id].add(
+        q_ch * batch.node_mask)
+    expected = np.array([i % 2 for i in range(5)] + [0.0, 0.0])
+    np.testing.assert_allclose(np.asarray(tot), expected, atol=1e-4)
+
+    g_lu = jax.grad(lambda p, c: f(p, c, "lu")[0], argnums=(0, 1))(pos0, chi)
+    g_ch = jax.grad(lambda p, c: f(p, c, "cholesky")[0],
+                    argnums=(0, 1))(pos0, chi)
+    np.testing.assert_allclose(np.asarray(g_ch[0]), np.asarray(g_lu[0]),
+                               atol=5e-6)
+    np.testing.assert_allclose(np.asarray(g_ch[1]), np.asarray(g_lu[1]),
+                               atol=5e-6)
+
+    def gg(p, impl):
+        inner = jax.grad(lambda pp: f(pp, chi, impl)[0])(p)
+        return jnp.sum(inner ** 2)
+
+    h_lu = jax.grad(lambda p: gg(p, "lu"))(pos0)
+    h_ch = jax.grad(lambda p: gg(p, "cholesky"))(pos0)
+    np.testing.assert_allclose(np.asarray(h_ch), np.asarray(h_lu), atol=5e-5)
