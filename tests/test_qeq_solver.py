@@ -284,3 +284,60 @@ def test_dense_cholesky_matches_lu_all_orders():
     h_lu = jax.grad(lambda p: gg(p, "lu"))(pos0)
     h_ch = jax.grad(lambda p: gg(p, "cholesky"))(pos0)
     np.testing.assert_allclose(np.asarray(h_ch), np.asarray(h_lu), atol=5e-5)
+
+
+def test_spd_solve_lanes_kernel_parity(monkeypatch):
+    """r5: the lane-packed Pallas Gauss-Jordan solve (interpret mode on
+    CPU) must match the XLA Cholesky path through CENTCharge — charges,
+    grads and grad-of-grad (custom_linear_solve closure; symmetric
+    parameterization through positions)."""
+    from gcnn_keras_tpu.batch import batch_graphs
+    from gcnn_keras_tpu.graph.preprocess import set_range
+    from gcnn_keras_tpu.ops.pallas.spd_solve import (spd_solve_lanes,
+                                                     _gj_solve_impl)
+
+    # raw kernel vs jnp solve
+    rs = np.random.RandomState(1)
+    G, M, K = 5, 21, 2
+    B = rs.randn(G, M, M).astype(np.float32) * 0.3
+    a = jnp.asarray(np.einsum("gij,gkj->gik", B, B)
+                    + np.eye(M, dtype=np.float32)[None] * 2.0)
+    b = jnp.asarray(rs.randn(G, M, K).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(_gj_solve_impl(a, b, interpret=True)),
+                               np.asarray(jnp.linalg.solve(a, b)), atol=2e-6)
+
+    # CENTCharge-level: kernel (forced via env) vs XLA cholesky
+    graphs = []
+    for i in range(4):
+        n = rs.randint(3, 9)
+        g = {"node_number": rs.choice([1, 6, 8], size=n),
+             "node_coordinates": (rs.randn(n, 3) * 2).astype(np.float32),
+             "total_charge": np.array([float(i % 2)], dtype=np.float32)}
+        g = set_range(g, max_distance=6.0, max_neighbours=12)
+        g["edge_indices"] = g.pop("range_indices")
+        graphs.append(g)
+    batch = batch_graphs(graphs, global_keys=("total_charge",))
+    chi = jnp.asarray(rs.randn(batch.n_node).astype(np.float32))
+    pos0 = batch.nodes["node_coordinates"]
+
+    def f(pos):
+        layer = CENTCharge(solver="dense", dense_impl="cholesky",
+                           param_trainable=False)
+        params = layer.init(jax.random.PRNGKey(0), batch, chi)
+        q = layer.apply(params, batch, chi, positions=pos)
+        return jnp.sum(jnp.sin(q) * batch.node_mask), q
+
+    def all_orders():
+        (_, q) = f(pos0)
+        g = jax.grad(lambda p: f(p)[0])(pos0)
+        h = jax.grad(lambda p: jnp.sum(
+            jax.grad(lambda pp: f(pp)[0])(p) ** 2))(pos0)
+        return np.asarray(q), np.asarray(g), np.asarray(h)
+
+    monkeypatch.setenv("GCNN_QEQ_LANES", "1")   # force the kernel
+    qk, gk, hk = all_orders()
+    monkeypatch.setenv("GCNN_QEQ_LANES", "0")   # force XLA cholesky
+    qx, gx, hx = all_orders()
+    np.testing.assert_allclose(qk, qx, atol=5e-6)
+    np.testing.assert_allclose(gk, gx, atol=5e-6)
+    np.testing.assert_allclose(hk, hx, atol=5e-5)
