@@ -146,20 +146,27 @@ class CENTCharge(nn.Module):
             return q * maskf
 
         G, M = batch.n_graphs, max(batch.max_nodes, 1)
-        # padded per-graph tensors
-        x_pad = flat_to_padded(pos, batch)                       # (G, M, 3)
+        # ONE packed flat->padded scatter instead of four (r5: each
+        # (N,)-level scatter/gather costs ~100 us of latency per AD
+        # traversal; the z-table lookups resolve at the flat level so the
+        # padded tensors are pure slices of one (G, M, 6) cast)
         chi_flat = chi.reshape(chi.shape[0], -1)[:, 0]
-        chi_pad = flat_to_padded(chi_flat, batch)                # (G, M)
-        z_pad = flat_to_padded(z, batch)                         # (G, M)
-        mask = flat_to_padded(batch.node_mask.astype(pos.dtype), batch)  # (G, M)
+        flat_tab = jnp.concatenate(
+            [pos, chi_flat[:, None], sigma_t[z][:, None],
+             hardness[z][:, None]], axis=1)                      # (N, 6)
+        pad_tab = flat_to_padded(flat_tab, batch)                # (G, M, 6)
+        mask = flat_to_padded(batch.node_mask.astype(pos.dtype), batch)
         mb = mask.astype(bool)
+        x_pad = pad_tab[..., :3]
+        chi_pad = pad_tab[..., 3]
+        sig = pad_tab[..., 4]
+        hard_pad = pad_tab[..., 5]
 
-        sig = sigma_t[z_pad]                                     # (G, M)
         use_iterative = (self.solver == "iterative" or
                          (self.solver == "auto" and M >= self.iterative_threshold))
         if use_iterative:
             from .qeq_solver import solve_qeq_iterative_batch
-            diag_val = hardness[z_pad] + 1.0 / (sig * math.sqrt(math.pi) + 1e-12)
+            diag_val = hard_pad + 1.0 / (sig * math.sqrt(math.pi) + 1e-12)
             diag = jnp.where(mb, diag_val, 1.0)
             q_pad = solve_qeq_iterative_batch(
                 x_pad, sig, diag, chi_pad * mask, qtot, mb, tol=self.cg_tol)
@@ -173,7 +180,7 @@ class CENTCharge(nn.Module):
         pair_mask = mb[:, :, None] & mb[:, None, :]
         eye = jnp.eye(M, dtype=bool)[None]
         a_core = jnp.where(pair_mask & ~eye, off, 0.0)
-        diag_val = hardness[z_pad] + 1.0 / (sig * math.sqrt(math.pi) + 1e-12)
+        diag_val = hard_pad + 1.0 / (sig * math.sqrt(math.pi) + 1e-12)
         # diagonal: physical value for real atoms, 1 for padding (identity row)
         diag = jnp.where(mb, diag_val, 1.0)
         a_core = a_core + diag[:, :, None] * eye
@@ -234,16 +241,31 @@ class ElectrostaticEnergyGaussCharge(nn.Module):
         qf = q.reshape(q.shape[0], -1)[:, 0]
 
         recv, send = batch.receivers, batch.senders
-        # edge-partitioned shard: sender-side quantities read the halo table
         from ...batch import graph_psum, sender_node_table
-        pos_t = sender_node_table(batch, pos)
-        z_t = sender_node_table(batch, z)
-        qf_t = sender_node_table(batch, qf)
-        vec = pos[recv] - pos_t[send]
+        # pack [pos | sigma | q] into ONE per-node table so each edge side
+        # is a single row gather (and partitioned shards do ONE halo
+        # exchange) instead of four 1-D gathers per AD traversal — the r5
+        # post-solver profile showed ~16 x ~100 us flat edge gathers from
+        # this path dominating the flagship step's tail (PERF.md r5)
+        sigma_n = sigma_t[z]
+        node_tab = jnp.concatenate(
+            [pos, sigma_n[:, None], qf[:, None]], axis=1)       # (N, 5)
+        if batch.part_axis is not None:
+            tab_send = sender_node_table(batch, node_tab)
+            er = jnp.take(node_tab, recv, axis=0)
+            es = jnp.take(tab_send, send, axis=0)
+        else:
+            from ...ops.pallas.fused_aggregate import (
+                gather_with_sorted_transpose)
+            # receivers are sorted by the batching invariant (perm=None);
+            # senders carry the build-time sorted perm for the backward
+            er = gather_with_sorted_transpose(node_tab, recv)
+            es = gather_with_sorted_transpose(
+                node_tab, send, batch.edges.get("sender_perm"))
+        vec = er[:, :3] - es[:, :3]
         rij = jnp.sqrt(jnp.maximum(jnp.sum(vec * vec, axis=-1), 1e-12))
-        si, sj = sigma_t[z[recv]], sigma_t[z_t[send]]
-        gamma = jnp.sqrt(si**2 + sj**2 + 1e-12)
-        pair = qf[recv] * qf_t[send] * jax.scipy.special.erf(
+        gamma = jnp.sqrt(er[:, 3] ** 2 + es[:, 3] ** 2 + 1e-12)
+        pair = er[:, 4] * es[:, 4] * jax.scipy.special.erf(
             rij / (gamma * math.sqrt(2.0))) / rij
         pair = pair * batch.edge_mask.astype(pair.dtype)
         e_pair = segment_sum(pair, batch.edge_graph_id, batch.n_graphs)
