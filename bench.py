@@ -601,6 +601,12 @@ def _family_record(jax, step_fn, args, n_edges, loop_iters=10, k=10):
 
     dt_scan, _ = _timeit(multi, args, iters=2)
     dt_scan /= k
+    if dt_scan * 20 < dt:
+        # a scan step physically cannot be 20x faster than the
+        # dispatch-loop step — re-measure once (one bench run recorded a
+        # 0.042 ms glitch for a 15.5 ms giant-mol scan)
+        dt_scan, _ = _timeit(multi, args, iters=2)
+        dt_scan /= k
     return {"ms_per_step": round(dt * 1e3, 3),
             "ms_per_step_scan": round(dt_scan * 1e3, 3),
             "edges_per_sec": round(n_edges / dt, 1),

@@ -146,21 +146,31 @@ class CENTCharge(nn.Module):
             return q * maskf
 
         G, M = batch.n_graphs, max(batch.max_nodes, 1)
-        # ONE packed flat->padded scatter instead of four (r5: each
-        # (N,)-level scatter/gather costs ~100 us of latency per AD
-        # traversal; the z-table lookups resolve at the flat level so the
-        # padded tensors are pure slices of one (G, M, 6) cast)
         chi_flat = chi.reshape(chi.shape[0], -1)[:, 0]
-        flat_tab = jnp.concatenate(
-            [pos, chi_flat[:, None], sigma_t[z][:, None],
-             hardness[z][:, None]], axis=1)                      # (N, 6)
-        pad_tab = flat_to_padded(flat_tab, batch)                # (G, M, 6)
         mask = flat_to_padded(batch.node_mask.astype(pos.dtype), batch)
         mb = mask.astype(bool)
-        x_pad = pad_tab[..., :3]
-        chi_pad = pad_tab[..., 3]
-        sig = pad_tab[..., 4]
-        hard_pad = pad_tab[..., 5]
+        if M <= 512:
+            # ONE packed flat->padded scatter instead of four (r5: each
+            # (N,)-level scatter/gather costs ~100 us of latency per AD
+            # traversal; z-table lookups resolve flat so the padded
+            # tensors are slices of one (G, M, 6) cast). GATED to small
+            # M: at giant single-molecule sizes the (M, M) erf broadcast
+            # reading from channel-strided SLICES measured ~1.8x SLOWER
+            # (2080 atoms: 16.2 -> 28.7 ms step) — there the four casts
+            # are noise and contiguous per-quantity tensors win.
+            flat_tab = jnp.concatenate(
+                [pos, chi_flat[:, None], sigma_t[z][:, None],
+                 hardness[z][:, None]], axis=1)                  # (N, 6)
+            pad_tab = flat_to_padded(flat_tab, batch)            # (G, M, 6)
+            x_pad = pad_tab[..., :3]
+            chi_pad = pad_tab[..., 3]
+            sig = pad_tab[..., 4]
+            hard_pad = pad_tab[..., 5]
+        else:
+            x_pad = flat_to_padded(pos, batch)                   # (G, M, 3)
+            chi_pad = flat_to_padded(chi_flat, batch)            # (G, M)
+            sig = flat_to_padded(sigma_t[z], batch)              # (G, M)
+            hard_pad = flat_to_padded(hardness[z], batch)        # (G, M)
 
         use_iterative = (self.solver == "iterative" or
                          (self.solver == "auto" and M >= self.iterative_threshold))
