@@ -710,13 +710,10 @@ def sec_hdnnp2nd(jax, jnp, optax):
     RECORD["hdnnp2nd"] = rec
 
 
-def _large_mol_record(jax, optax, n):
-    """Flagship force train step on one giant locality-sorted molecule
-    (VERDICT r2 item 4 / the BASELINE north star). The reference wall
-    being removed: kgcnn/layers/conv/hdnnp_conv.py:250 (dense O(M^3) LU
-    per molecule); here solver='auto' picks dense LU vs row-sharded CG by
-    measured crossover (tools/qeq_crossover.py), gradients pinned by
-    tests/test_qeq_solver.py::test_iterative_qeq_inside_full_force_train_step."""
+def bench_large_mol_step(jax, optax, n, **electro_overrides):
+    """Build the giant-single-molecule flagship train step (shared with
+    tools/ab_qeq_cholesky.py so the A/B measures EXACTLY the bench
+    workload). Returns (step_fn, args, n_edges, n_angles)."""
     from gcnn_keras_tpu.batch import batch_graphs
     from gcnn_keras_tpu.graph.preprocess import set_range, set_angle
     from gcnn_keras_tpu.models.hdnnp4th import make_model_behler
@@ -754,7 +751,8 @@ def _large_mol_record(jax, optax, n):
                            "activation": ["swish", "swish", "linear"]},
         mlp_local_kwargs={"units": [64, 64, 1], "num_relations": 10,
                           "activation": ["swish", "swish", "linear"]},
-        electrostatic_kwargs={"param_trainable": False, "solver": "auto"})
+        electrostatic_kwargs={"param_trainable": False, "solver": "auto",
+                              **electro_overrides})
     fmodel = EnergyForceModel(model, use_esp_coupling=True)
     params = jax.jit(lambda k, b: fmodel.init(k, b, train=False))(
         jax.random.PRNGKey(0), batch)
@@ -776,12 +774,20 @@ def _large_mol_record(jax, optax, n):
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    # r5: solver="auto" picks the DENSE LU through 4096 atoms
-    # (tools/qeq_crossover.py measured dense 2.4-3.3x faster than CG at
-    # 520/1040/2080 with identical losses) and >=4096 angles clear the
-    # fused-G4 gate — 520 atoms: 7.47 -> ~3.0 ms. Scan numbers are the
-    # stable ground truth; the dispatch-loop ms fluctuates with host load.
-    rec = _family_record(jax, step_fn, (params, opt_state, batch), n_edges)
+    return step_fn, (params, opt_state, batch), n_edges, n_angles
+
+
+def _large_mol_record(jax, optax, n):
+    """Flagship force train step on one giant locality-sorted molecule
+    (VERDICT r2 item 4 / the BASELINE north star). The reference wall
+    being removed: kgcnn/layers/conv/hdnnp_conv.py:250 (dense O(M^3) LU
+    per molecule); solver='auto' picks dense vs row-sharded CG by
+    measured crossover (tools/qeq_crossover.py), gradients pinned by
+    tests/test_qeq_solver.py::test_iterative_qeq_inside_full_force_train_step.
+    Scan numbers are the stable ground truth; the dispatch-loop ms
+    fluctuates with host load."""
+    step_fn, args, n_edges, n_angles = bench_large_mol_step(jax, optax, n)
+    rec = _family_record(jax, step_fn, args, n_edges)
     dt_scan = rec["ms_per_step_scan"] / 1e3
     rec.update(atoms=n, qeq="dense_cholesky_auto",
                angles_per_sec_scan=round(n_angles / dt_scan, 1))

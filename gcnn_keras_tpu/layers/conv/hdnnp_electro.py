@@ -195,17 +195,10 @@ class CENTCharge(nn.Module):
         diag = jnp.where(mb, diag_val, 1.0)
         a_core = a_core + diag[:, :, None] * eye
 
-        # assemble (G, M+1, M+1): border row/col = node mask, corner 0
-        # (or 1 for empty graphs to keep the system nonsingular)
+        # bordered corner: 0, or 1 for empty graphs (keeps the system
+        # nonsingular)
         n_valid = jnp.sum(mask, axis=1)
         corner = jnp.where(n_valid > 0, 0.0, 1.0)
-        a = jnp.zeros((G, M + 1, M + 1), dtype=pos.dtype)
-        a = a.at[:, :M, :M].set(a_core)
-        a = a.at[:, :M, M].set(mask)
-        a = a.at[:, M, :M].set(mask)
-        a = a.at[:, M, M].set(corner)
-
-        rhs = jnp.concatenate([chi_pad * mask, qtot[:, None]], axis=1)  # (G, M+1)
         if self.dense_impl == "cholesky":
             # SPD A + Schur-eliminated constraint: no pivoting, half the
             # factorization FLOPs (measured A/B vs the bordered LU in
@@ -215,6 +208,15 @@ class CENTCharge(nn.Module):
                                               chi_pad * mask, qtot, corner)
             q = padded_to_flat(q_core, batch)
             return q * batch.node_mask.astype(q.dtype)
+
+        # "lu": the reference-equivalent bordered (G, M+1, M+1) system —
+        # assembled only on this branch (dead work for the default)
+        a = jnp.zeros((G, M + 1, M + 1), dtype=pos.dtype)
+        a = a.at[:, :M, :M].set(a_core)
+        a = a.at[:, :M, M].set(mask)
+        a = a.at[:, M, :M].set(mask)
+        a = a.at[:, M, M].set(corner)
+        rhs = jnp.concatenate([chi_pad * mask, qtot[:, None]], axis=1)  # (G, M+1)
         q_pad = jnp.linalg.solve(a, rhs[..., None])[..., 0]             # (G, M+1)
         q = padded_to_flat(q_pad[:, :M], batch)
         return q * batch.node_mask.astype(q.dtype)
@@ -268,10 +270,13 @@ class ElectrostaticEnergyGaussCharge(nn.Module):
             from ...ops.pallas.fused_aggregate import (
                 gather_with_sorted_transpose)
             # receivers are sorted by the batching invariant (perm=None);
-            # senders carry the build-time sorted perm for the backward
+            # senders carry the build-time sorted perm for the backward —
+            # and WITHOUT a recorded perm fall back to a plain take (an
+            # unsorted-sender pallas transpose would mis-aggregate)
+            perm = batch.edges.get("sender_perm")
             er = gather_with_sorted_transpose(node_tab, recv)
-            es = gather_with_sorted_transpose(
-                node_tab, send, batch.edges.get("sender_perm"))
+            es = gather_with_sorted_transpose(node_tab, send, perm) \
+                if perm is not None else jnp.take(node_tab, send, axis=0)
         vec = er[:, :3] - es[:, :3]
         rij = jnp.sqrt(jnp.maximum(jnp.sum(vec * vec, axis=-1), 1e-12))
         gamma = jnp.sqrt(er[:, 3] ** 2 + es[:, 3] ** 2 + 1e-12)
@@ -282,7 +287,6 @@ class ElectrostaticEnergyGaussCharge(nn.Module):
         if self.multiplicity:
             e_pair = e_pair / self.multiplicity
 
-        sigma_n = sigma_t[z]
         self_e = jnp.where(sigma_n > 0, qf**2 / jnp.maximum(sigma_n, 1e-12), 0.0) \
             / (2.0 * math.sqrt(math.pi))
         self_e = self_e * batch.node_mask.astype(self_e.dtype)

@@ -80,6 +80,14 @@ def solve_qeq_dense_cholesky(a_core: Array, border: Array, b: Array,
     on_tpu = jax.default_backend() == "tpu"
     env = os.environ.get("GCNN_QEQ_LANES")  # "1" force (interpret off-TPU
     # — for parity tests), "0" disable
+    if env not in (None, "0", "1"):
+        raise ValueError(f"GCNN_QEQ_LANES={env!r}: use '0' or '1'")
+    if env == "1" and M > 120:
+        raise ValueError(
+            f"GCNN_QEQ_LANES=1 forced the lane-packed kernel at M={M}, "
+            "but its (M, M, 128) VMEM block requires M <= 120 "
+            "(ops/pallas/spd_solve.py) — unset the override for giant "
+            "molecules")
     use_lanes = (on_tpu and M <= 120 and G >= 2) if env is None \
         else env == "1"
     if use_lanes:

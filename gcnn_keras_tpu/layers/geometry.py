@@ -38,8 +38,12 @@ def edge_vectors(batch: GraphBatch, positions: Optional[Array] = None,
         # ~0.4-0.5 ms per traversal at 512-mol shapes (auto-gated at
         # >=16k edges inside gather_with_sorted_transpose)
         from ..ops.pallas.fused_aggregate import gather_with_sorted_transpose
-        pos_j = gather_with_sorted_transpose(pos, batch.senders,
-                                             batch.edges.get("sender_perm"))
+        perm = batch.edges.get("sender_perm")
+        # no perm recorded -> senders are NOT known-sorted; a sorted
+        # segment-sum transpose would silently mis-aggregate d_pos
+        # (same guard as aggr.gather_sender_nodes)
+        pos_j = gather_with_sorted_transpose(pos, batch.senders, perm) \
+            if perm is not None else pos[batch.senders]
         pos_i = gather_with_sorted_transpose(pos, batch.receivers)
     vec = pos_i - pos_j
     if "range_image" in batch.edges and "graph_lattice" in batch.globals:
